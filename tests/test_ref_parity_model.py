@@ -1,0 +1,166 @@
+"""Numerical parity: our flax trunk vs the reference torch model.
+
+Instantiates the *unmodified* reference ``PianoBartLM`` / classifiers
+(torch + transformers, CPU), exports their weights through
+``compat.torch_import``, and demands logits match to float32 tolerance on
+identical inputs.  This is the strongest available proof that the TPU
+re-design is checkpoint-compatible with published PianoBART weights.
+"""
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "model.py")), reason="reference absent")
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, REF)
+    try:
+        import pickle
+        spec = importlib.util.spec_from_file_location(
+            "ref_pianobart", os.path.join(REF, "PianoBart.py"))
+        ref_pb = importlib.util.module_from_spec(spec)
+        sys.modules["PianoBart"] = ref_pb
+        spec.loader.exec_module(ref_pb)
+        spec2 = importlib.util.spec_from_file_location(
+            "ref_model", os.path.join(REF, "model.py"))
+        ref_model = importlib.util.module_from_spec(spec2)
+        spec2.loader.exec_module(ref_model)
+        with open(os.path.join(REF, "Data/Octuple.pkl"), "rb") as f:
+            e2w, w2e = pickle.load(f)
+        return ref_pb, ref_model, e2w, w2e
+    finally:
+        sys.path.remove(REF)
+
+
+def small_cfgs(ref_modules):
+    from transformers import BartConfig
+    from pianobart_tpu.models import PianoBartConfig
+    kw = dict(max_len=32, d_model=64, encoder_layers=2, decoder_layers=2,
+              ffn_dim=128, num_heads=4)
+    ours = PianoBartConfig(emb_size=256, dropout=0.0, use_flash_attention=False,
+                           **{k: v for k, v in kw.items() if k != "max_len"},
+                           max_len=32)
+    theirs = BartConfig(max_position_embeddings=32, d_model=64,
+                        encoder_layers=2, decoder_layers=2,
+                        encoder_ffn_dim=128, decoder_ffn_dim=128,
+                        encoder_attention_heads=4, decoder_attention_heads=4)
+    return ours, theirs
+
+
+def rand_batch(e2w, B=2, S=32, seed=0):
+    rng = np.random.default_rng(seed)
+    sizes = [len(e2w[k]) for k in
+             ['Bar', 'Position', 'Instrument', 'Pitch', 'Duration',
+              'Velocity', 'TimeSig', 'Tempo']]
+    ids = np.stack([rng.integers(0, s, size=(B, S)) for s in sizes], axis=-1)
+    mask = np.ones((B, S), dtype=np.float32)
+    mask[1, S - 5:] = 0.0
+    return ids, mask
+
+
+@torch.no_grad()
+def test_lm_logits_parity(ref_modules):
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.compat.torch_import import import_lm
+    from pianobart_tpu.models import PianoBartLM
+
+    ours_cfg, theirs_cfg = small_cfgs(ref_modules)
+    torch.manual_seed(0)
+    theirs = ref_model.PianoBartLM(ref_pb.PianoBart(theirs_cfg, e2w, w2e)).eval()
+
+    ids, mask = rand_batch(e2w)
+    dec_ids, dec_mask = rand_batch(e2w, seed=1)
+    t_out = theirs(torch.tensor(ids), torch.tensor(dec_ids),
+                   torch.tensor(mask), torch.tensor(dec_mask))
+
+    sd = {k: v.numpy() for k, v in theirs.state_dict().items()}
+    params = import_lm(sd, ours_cfg)
+    model = PianoBartLM(ours_cfg)
+    fused = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(dec_ids),
+                        jnp.asarray(mask), jnp.asarray(dec_mask))
+    ours_fields = model.apply({"params": params}, fused,
+                              method=PianoBartLM.logits_per_field)
+    assert len(t_out) == len(ours_fields) == 8
+    for i in range(8):
+        a = t_out[i].numpy()
+        b = np.asarray(ours_fields[i])
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_encoder_only_parity(ref_modules):
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.compat.torch_import import import_trunk
+    from pianobart_tpu.models import PianoBart
+
+    ours_cfg, theirs_cfg = small_cfgs(ref_modules)
+    torch.manual_seed(1)
+    theirs = ref_pb.PianoBart(theirs_cfg, e2w, w2e).eval()
+    ids, mask = rand_batch(e2w, seed=2)
+    t_out = theirs(torch.tensor(ids), None, torch.tensor(mask), None)
+
+    params = import_trunk({k: v.numpy() for k, v in theirs.state_dict().items()},
+                          ours_cfg)
+    model = PianoBart(ours_cfg)
+    enc = model.apply({"params": params}, jnp.asarray(ids), None, jnp.asarray(mask))
+    np.testing.assert_allclose(t_out.last_hidden_state.numpy(), np.asarray(enc),
+                               rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_sequence_classifier_parity(ref_modules):
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.compat.torch_import import import_sequence_classifier
+    from pianobart_tpu.models import SequenceClassification
+
+    ours_cfg, theirs_cfg = small_cfgs(ref_modules)
+    torch.manual_seed(2)
+    theirs = ref_model.SequenceClassification(
+        ref_pb.PianoBart(theirs_cfg, e2w, w2e), class_num=4, hs=64).eval()
+    ids, mask = rand_batch(e2w, seed=3)
+    t_out = theirs(torch.tensor(ids), torch.tensor(mask))
+
+    params = import_sequence_classifier(
+        {k: v.numpy() for k, v in theirs.state_dict().items()}, ours_cfg)
+    model = SequenceClassification(ours_cfg, class_num=4)
+    ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(t_out.numpy(), np.asarray(ours), rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_token_classifier_velocity_parity(ref_modules):
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.compat.torch_import import import_token_classifier
+    from pianobart_tpu.models import TokenClassification
+
+    ours_cfg, theirs_cfg = small_cfgs(ref_modules)
+    ours_cfg = ours_cfg.replace(decoder_label_vocab=8)
+    torch.manual_seed(3)
+    # class_num=8 (velocity: 7+1, finetune.py:98) triggers the reference's
+    # decoder-embedding swap (model.py:242-245).
+    theirs = ref_model.TokenClassification(
+        ref_pb.PianoBart(theirs_cfg, e2w, w2e), class_num=8, hs=64).eval()
+    ids, mask = rand_batch(e2w, seed=4)
+    rng = np.random.default_rng(5)
+    labels = rng.integers(0, 8, size=(2, 32))
+    t_out = theirs(torch.tensor(ids), torch.tensor(labels),
+                   torch.tensor(mask), torch.tensor(mask))
+
+    params = import_token_classifier(
+        {k: v.numpy() for k, v in theirs.state_dict().items()}, ours_cfg)
+    model = TokenClassification(ours_cfg, class_num=8)
+    ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(labels),
+                       jnp.asarray(mask), jnp.asarray(mask))
+    np.testing.assert_allclose(t_out.numpy(), np.asarray(ours), rtol=2e-4, atol=2e-4)
