@@ -1,0 +1,113 @@
+"""Autoregressive MIDI continuation decoding.
+
+TPU-native replacement for the reference generate loop
+(``model.py:28-66``), which re-encodes and re-decodes all 1024 positions for
+every generated token (O(n²·L), batch 1, host-side sampling).  Here:
+
+* the encoder runs ONCE; cross-attention K/V are computed once and cached;
+* the decoder runs incrementally with a KV cache inside ``lax.while_loop``
+  (true early exit on special tokens, reference ``model.py:63-64``);
+* per-field temperature/top-p sampling happens on device
+  (:mod:`pianobart_tpu.ops.sampling`).
+
+Supports batched generation with per-sample done flags (the reference is
+hard-limited to batch 1, ``model.py:29-31``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import vocab as V
+from .models.config import PianoBartConfig
+from .models.pianobart import PianoBartLM, attention_mask_from_bars
+from .ops.sampling import (DEFAULT_TEMPERATURE, DEFAULT_TOP_P, sample_octuple)
+
+__all__ = ["generate", "make_generate_fn"]
+
+_PAD_ROW = jnp.asarray(V.PAD, dtype=jnp.int32)
+_SOS_ROW = jnp.asarray(V.SOS, dtype=jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "temperature", "top_p", "max_steps"))
+def _generate_impl(
+    params,
+    encoder_ids: jax.Array,           # (B, S, 8) int32
+    encoder_mask: jax.Array,          # (B, S)
+    rng: jax.Array,
+    cfg: PianoBartConfig,
+    temperature: Tuple[float, ...],
+    top_p: Tuple[float, ...],
+    max_steps: int,
+) -> jax.Array:
+    model = PianoBartLM(cfg)
+    B, S, _ = encoder_ids.shape
+
+    enc_out = model.apply(params, encoder_ids, encoder_mask,
+                          method=PianoBartLM.encode)
+    cache = model.apply(params, enc_out, B, S, method=PianoBartLM.build_cache)
+
+    out = jnp.broadcast_to(_PAD_ROW, (B, S, 8)).astype(jnp.int32)
+    tok0 = jnp.broadcast_to(_SOS_ROW, (B, 1, 8)).astype(jnp.int32)
+
+    def step(i, tok, cache, out, done, rng):
+        logits, cache = model.apply(
+            params, tok, enc_out, encoder_mask, cache, i,
+            method=PianoBartLM.decode_step)
+        rng, sub = jax.random.split(rng)
+        nxt = sample_octuple(sub, logits[:, 0, :], cfg, temperature, top_p)
+        # Early stop on any special token: do not write the row (model.py:63-65).
+        is_special = (nxt >= _PAD_ROW[None, :]).any(axis=-1)
+        newly_done = jnp.logical_or(done, is_special)
+        write = jnp.where((~newly_done)[:, None], nxt,
+                          jnp.broadcast_to(_PAD_ROW, nxt.shape))
+        out = jax.lax.dynamic_update_slice(out, write[:, None, :], (0, i, 0))
+        # Next decoder input (frozen once done).
+        tok = jnp.where(done[:, None, None], tok, nxt[:, None, :])
+        return i + 1, tok, cache, out, newly_done, rng
+
+    # Step 0 runs outside the loop: it fills the cross-attention cache, so the
+    # while_loop carry keeps a fixed pytree structure.
+    carry = step(jnp.int32(0), tok0, cache, out,
+                 jnp.zeros((B,), dtype=bool), rng)
+
+    def cond(carry):
+        i, _, _, _, done, _ = carry
+        return jnp.logical_and(i < max_steps, ~done.all())
+
+    _, _, _, out, _, _ = jax.lax.while_loop(cond, lambda c: step(*c), carry)
+    return out
+
+
+def generate(
+    params,
+    encoder_ids,
+    encoder_mask=None,
+    rng: Optional[jax.Array] = None,
+    cfg: Optional[PianoBartConfig] = None,
+    temperature: Sequence[float] = DEFAULT_TEMPERATURE,
+    top_p: Sequence[float] = DEFAULT_TOP_P,
+    max_steps: Optional[int] = None,
+):
+    """Generate a continuation token grid (B, S, 8) from an intro."""
+    assert cfg is not None, "pass the model config"
+    encoder_ids = jnp.asarray(encoder_ids, dtype=jnp.int32)
+    if encoder_ids.ndim == 2:
+        encoder_ids = encoder_ids[None]
+    if encoder_mask is None:
+        encoder_mask = attention_mask_from_bars(encoder_ids)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    steps = max_steps or encoder_ids.shape[1]
+    return _generate_impl(params, encoder_ids, jnp.asarray(encoder_mask), rng,
+                          cfg, tuple(temperature), tuple(top_p), steps)
+
+
+def make_generate_fn(cfg: PianoBartConfig, **kw):
+    """Partially-applied generate for repeated serving calls."""
+    return functools.partial(generate, cfg=cfg, **kw)

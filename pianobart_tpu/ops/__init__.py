@@ -1,1 +1,4 @@
-
+from .attention import dot_product_attention
+from .noise import corrupt, corrupt_batch
+from .sampling import (DEFAULT_TEMPERATURE, DEFAULT_TOP_P, greedy_octuple,
+                       nucleus_sample, sample_octuple)

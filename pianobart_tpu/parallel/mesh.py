@@ -1,0 +1,85 @@
+"""Device mesh + sharding rules.
+
+The reference's entire distributed story is single-process
+``nn.DataParallel`` (``pretrain.py:63-65`` and five clones).  The TPU-native
+replacement is one ``jax.sharding.Mesh`` with named axes
+
+* ``dp`` — data parallel (batch axis; gradient psum over ICI)
+* ``tp`` — tensor parallel (attention heads / FFN / vocab shards)
+* ``sp`` — sequence parallel (activation sequence axis, long-context option)
+
+Model kernels carry *logical* axis names (``embed``, ``qkv``, ``mlp``,
+``vocab``, ``fused``); :data:`LOGICAL_RULES` maps them onto mesh axes and
+:func:`shard_params` materializes NamedShardings.  XLA inserts all
+collectives — there is no hand-written communication backend to port.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import linen as nn
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+#: logical axis name -> mesh axis (None = replicate)
+LOGICAL_RULES: Tuple[Tuple[str, Any], ...] = (
+    ("batch", "dp"),
+    ("seq", "sp"),
+    ("embed", None),
+    ("fused", None),
+    ("qkv", "tp"),
+    ("mlp", "tp"),
+    ("vocab", "tp"),
+)
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a (dp, tp, sp) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        assert n % (tp * sp) == 0, f"{n} devices not divisible by tp*sp={tp * sp}"
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"mesh {dp}x{tp}x{sp} != {n} devices"
+    arr = mesh_utils.create_device_mesh((dp, tp, sp), devices=devices)
+    return Mesh(arr, ("dp", "tp", "sp"))
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(dp=1, tp=1, sp=1, devices=jax.devices()[:1])
+
+
+def logical_to_sharding(spec_tree, mesh: Mesh,
+                        rules=LOGICAL_RULES):
+    """Map a tree of logical PartitionSpecs to NamedShardings."""
+    return nn.logical_to_mesh_sharding(spec_tree, mesh, rules)
+
+
+def param_shardings(variables, mesh: Mesh, rules=LOGICAL_RULES):
+    """Shardings for a (possibly boxed) variable tree from ``model.init``."""
+    spec = nn.get_partition_spec(variables)
+    return logical_to_sharding(spec, mesh, rules)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Batch tensors: leading axis on dp, rest replicated."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(variables, mesh: Mesh, rules=LOGICAL_RULES):
+    """Unbox metadata and place parameters according to their annotations."""
+    shardings = param_shardings(variables, mesh, rules)
+    unboxed = nn.meta.unbox(variables)
+    shardings = jax.tree.map(
+        lambda s: s if isinstance(s, NamedSharding) else NamedSharding(mesh, s),
+        shardings,
+        is_leaf=lambda x: isinstance(x, (NamedSharding,))
+        or not isinstance(x, dict))
+    return jax.device_put(unboxed, shardings), shardings

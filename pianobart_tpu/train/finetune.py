@@ -1,0 +1,116 @@
+"""Understanding finetunes: composer/emotion (sequence) and melody/velocity
+(token) classification.
+
+Jitted equivalents of the reference ``FinetuneTrainer`` iteration
+(``finetune.py:152-256``):
+
+* sequence tasks: trunk fed the same ids on both sides through
+  :class:`SequenceClassification` (model.py:204), mean CE, sequence accuracy;
+* velocity: decoder consumes the right-shifted *label* stream through the
+  swapped label embedding, pad id = ``class_num`` (finetune.py:193-198);
+* melody: decoder consumes a copy of the encoder ids (finetune.py:209-213);
+* optional L2 regularization ``weight * Σ‖θ‖₂`` (finetune.py:241-243 — note
+  the reference sums unsquared L2 norms);
+* accuracy masked by the encoder attention (finetune.py:222-230).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import vocab as V
+from ..models.config import PianoBartConfig
+from .objective import sequence_ce, token_ce
+from .state import TrainState
+
+_BAR_PAD = V.PAD[0]
+
+
+def _l2_penalty(params) -> jax.Array:
+    return sum(jnp.linalg.norm(p.astype(jnp.float32).reshape(-1))
+               for p in jax.tree.leaves(params))
+
+
+def _seq_loss(params, apply_fn, x, y, cfg, dropout_rng, deterministic,
+              reg_weight):
+    attn = (x[..., 0] != _BAR_PAD).astype(jnp.float32)
+    rngs = None if deterministic else {"dropout": dropout_rng}
+    logits = apply_fn({"params": params}, x, attn, deterministic, rngs=rngs)
+    loss = sequence_ce(logits, y)
+    if reg_weight is not None:
+        loss = loss + reg_weight * _l2_penalty(params)
+    return loss, logits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "reg_weight", "train"),
+                   donate_argnums=(0,))
+def finetune_seq_step(state: TrainState, x: jax.Array, y: jax.Array,
+                      rng: jax.Array, cfg: PianoBartConfig,
+                      reg_weight: Optional[float] = None,
+                      train: bool = True) -> Tuple[TrainState, Dict[str, Any]]:
+    rng = jax.random.fold_in(rng, state.step)
+    if train:
+        (loss, logits), grads = jax.value_and_grad(_seq_loss, has_aux=True)(
+            state.params, state.apply_fn, x, y, cfg, rng, False, reg_weight)
+        state = state.apply_gradients(grads=grads)
+    else:
+        loss, logits = _seq_loss(state.params, state.apply_fn, x, y, cfg,
+                                 rng, True, reg_weight)
+    pred = logits.argmax(axis=-1)
+    metrics = {"loss": loss, "acc_num": (pred == y).sum(),
+               "acc_den": jnp.asarray(y.shape[0]), "pred": pred}
+    return state, metrics
+
+
+def _token_decoder_inputs(x, y, attn, cfg, velocity: bool):
+    if velocity:
+        # label right-shift with pad id = class_num (finetune.py:194-198)
+        n_labels = cfg.decoder_label_vocab
+        y_shift = jnp.concatenate(
+            [jnp.full_like(y[:, :1], n_labels - 1), y[:, :-1]], axis=1)
+        attn_shift = jnp.concatenate([attn[:, :1], attn[:, :-1]], axis=1)
+        return y_shift, attn_shift
+    return x, attn  # melody: decoder sees the encoder ids (finetune.py:209-213)
+
+
+def _token_loss(params, apply_fn, x, y, cfg, velocity, dropout_rng,
+                deterministic, reg_weight):
+    attn = (x[..., 0] != _BAR_PAD).astype(jnp.float32)
+    dec_ids, dec_attn = _token_decoder_inputs(x, y, attn, cfg, velocity)
+    rngs = None if deterministic else {"dropout": dropout_rng}
+    logits = apply_fn({"params": params}, x, dec_ids, attn, dec_attn,
+                      deterministic, rngs=rngs)
+    loss = token_ce(logits, y, attn)
+    if reg_weight is not None:
+        loss = loss + reg_weight * _l2_penalty(params)
+    return loss, (logits, attn)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "velocity", "reg_weight", "train"),
+                   donate_argnums=(0,))
+def finetune_token_step(state: TrainState, x: jax.Array, y: jax.Array,
+                        rng: jax.Array, cfg: PianoBartConfig,
+                        velocity: bool = False,
+                        reg_weight: Optional[float] = None,
+                        train: bool = True) -> Tuple[TrainState, Dict[str, Any]]:
+    rng = jax.random.fold_in(rng, state.step)
+    if train:
+        (loss, (logits, attn)), grads = jax.value_and_grad(
+            _token_loss, has_aux=True)(
+            state.params, state.apply_fn, x, y, cfg, velocity, rng, False,
+            reg_weight)
+        state = state.apply_gradients(grads=grads)
+    else:
+        loss, (logits, attn) = _token_loss(
+            state.params, state.apply_fn, x, y, cfg, velocity, rng, True,
+            reg_weight)
+    pred = logits.argmax(axis=-1)
+    metrics = {"loss": loss,
+               "acc_num": ((pred == y) * attn).sum(),
+               "acc_den": attn.sum(), "pred": pred}
+    return state, metrics

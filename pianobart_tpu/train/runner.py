@@ -1,0 +1,217 @@
+"""Epoch runners — the orchestration layer behind the CLI.
+
+Mirrors ``main.py``'s four entry loops (pretrain / finetune /
+finetune_generation / ablation): epoch iteration, vocab-weighted best-model
+selection, patience-based early stop, checkpoint-every-epoch with a best
+copy, and append-only epoch logs (``main.py:65-100, 186-211, 291-321``) —
+rebuilt on jitted steps, orbax checkpoints with true resume, and jsonl
+metrics.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import PianoBartConfig
+from ..utils.logging import MetricsLogger
+from .pretrain import batch_iterator, pretrain_eval_step, pretrain_step
+from .state import CheckpointManager, TrainState
+
+
+def _to_float(x):
+    return float(np.asarray(x))
+
+
+class PretrainRunner:
+    """Pretraining epochs (main.py:17-100)."""
+
+    def __init__(self, state: TrainState, cfg: PianoBartConfig,
+                 train_data: np.ndarray, valid_data: np.ndarray,
+                 save_dir: str, batch_size: int = 16,
+                 mask_percent: float = 0.15, patience: int = 30,
+                 seed: int = 2023, put_batch: Callable = jnp.asarray):
+        self.state = state
+        self.cfg = cfg
+        self.train_data = train_data
+        self.valid_data = valid_data
+        self.batch_size = batch_size
+        self.mask_percent = mask_percent
+        self.patience = patience
+        self.put_batch = put_batch
+        self.logger = MetricsLogger(save_dir)
+        self.ckpt = CheckpointManager(save_dir)
+        self.np_rng = np.random.default_rng(seed)
+        self.rng = jax.random.PRNGKey(seed)
+        self.best_acc = -1.0
+        self.bad_epochs = 0
+
+    def train_epoch(self) -> Dict[str, Any]:
+        losses, accs, n = [], [], 0
+        t0 = time.time()
+        tokens = 0
+        for batch, _ in batch_iterator(self.train_data, self.batch_size,
+                                       self.np_rng, shuffle=True):
+            self.state, m = pretrain_step(self.state, self.put_batch(batch),
+                                          self.rng, self.cfg,
+                                          self.mask_percent)
+            losses.append(m["loss"])
+            accs.append(m["field_acc"])
+            tokens += batch.shape[0] * batch.shape[1]
+            n += 1
+            self.logger.step_echo(n, m)
+        dt = time.time() - t0
+        return {"loss": _to_float(jnp.stack(losses).mean()) if losses else 0.0,
+                "field_acc": np.asarray(jnp.stack(accs).mean(0)) if accs else
+                np.zeros(8),
+                "tokens_per_sec": tokens / max(dt, 1e-9), "steps": n}
+
+    def valid_epoch(self) -> Dict[str, Any]:
+        losses, accs = [], []
+        for batch, w in batch_iterator(self.valid_data, self.batch_size,
+                                       self.np_rng, shuffle=False,
+                                       drop_last=False):
+            m = pretrain_eval_step(self.state, self.put_batch(batch),
+                                   self.rng, jnp.asarray(w), self.cfg,
+                                   self.mask_percent)
+            losses.append(m["loss"])
+            accs.append(m["field_acc"])
+        return {"loss": _to_float(jnp.stack(losses).mean()) if losses else 0.0,
+                "field_acc": np.asarray(jnp.stack(accs).mean(0)) if accs else
+                np.zeros(8)}
+
+    def run(self, epochs: int, resume: bool = False) -> TrainState:
+        start_epoch = 0
+        if resume:
+            self.state, start_epoch = self.ckpt.restore(self.state)
+        n_tok = np.asarray(self.cfg.field_sizes, dtype=np.float64)
+        for epoch in range(start_epoch, epochs):
+            if self.bad_epochs >= self.patience:
+                self.logger.epoch_line(
+                    f"valid acc not improving for {self.patience} epochs")
+                break
+            tr = self.train_epoch()
+            va = self.valid_epoch()
+            weighted = float((va["field_acc"] * n_tok).sum() / n_tok.sum())
+            is_best = weighted > self.best_acc
+            self.best_acc = max(weighted, self.best_acc)
+            self.bad_epochs = 0 if is_best else self.bad_epochs + 1
+            self.ckpt.save(epoch + 1, self.state,
+                           {"weighted_acc": weighted, **va}, is_best)
+            self.logger.log("epoch", epoch=epoch + 1, train=tr, valid=va,
+                            weighted_acc=weighted, best=is_best)
+            fmt = lambda a: [round(float(v), 3) for v in a]
+            self.logger.epoch_line(
+                f"Epoch {epoch + 1}: train_loss={tr['loss']:.4f}, "
+                f"train_acc={fmt(tr['field_acc'])}, "
+                f"valid_loss={va['loss']:.4f}, "
+                f"valid_acc={fmt(va['field_acc'])}, "
+                f"tok/s={tr['tokens_per_sec']:.0f}")
+        return self.state
+
+
+class SupervisedRunner:
+    """Shared epoch loop for finetune/generation/ablation.
+
+    ``step_fn(state, batch_tuple, rng, train) -> (state, metrics)`` where
+    metrics carries loss and either acc_num/acc_den or field_acc.
+    """
+
+    def __init__(self, state: TrainState, cfg: PianoBartConfig, step_fn,
+                 data, save_dir: str, batch_size: int = 8,
+                 patience: int = 3, seed: int = 2023,
+                 select: str = "scalar_acc",
+                 eval_hook: Optional[Callable] = None):
+        self.state = state
+        self.cfg = cfg
+        self.step_fn = step_fn
+        (self.X_train, self.X_val, self.X_test,
+         self.y_train, self.y_val, self.y_test) = data
+        self.save_dir = save_dir
+        self.batch_size = batch_size
+        self.patience = patience
+        self.select = select
+        self.eval_hook = eval_hook
+        self.logger = MetricsLogger(save_dir)
+        self.ckpt = CheckpointManager(save_dir)
+        self.np_rng = np.random.default_rng(seed)
+        self.rng = jax.random.PRNGKey(seed)
+        self.best = -1.0
+        self.bad = 0
+
+    def _epoch(self, X, y, train: bool) -> Dict[str, Any]:
+        losses = []
+        acc_num = 0.0
+        acc_den = 0.0
+        field_accs = []
+        extras = []
+        n = len(X)
+        idx = self.np_rng.permutation(n) if train else np.arange(n)
+        stop = (n // self.batch_size) * self.batch_size
+        if stop == 0 and n:
+            stop = n  # tiny datasets: single short batch
+        for i in range(0, stop, self.batch_size):
+            sel = idx[i:i + self.batch_size]
+            bx = jnp.asarray(np.asarray(X[sel]), dtype=jnp.int32)
+            by = jnp.asarray(np.asarray(y[sel]))
+            self.state, m = self.step_fn(self.state, bx, by, self.rng,
+                                         train=train)
+            losses.append(m["loss"])
+            if "acc_num" in m:
+                acc_num += _to_float(m["acc_num"])
+                acc_den += _to_float(m["acc_den"])
+            if "field_acc" in m:
+                field_accs.append(m["field_acc"])
+            if self.eval_hook is not None and not train:
+                extras.append(self.eval_hook(np.asarray(bx), np.asarray(by), m))
+        out: Dict[str, Any] = {
+            "loss": _to_float(jnp.stack(losses).mean()) if losses else 0.0}
+        if acc_den:
+            out["acc"] = acc_num / acc_den
+        if field_accs:
+            out["field_acc"] = np.asarray(jnp.stack(field_accs).mean(0))
+        if extras:
+            keys = extras[0].keys()
+            out.update({k: float(np.mean([e[k] for e in extras]))
+                        for k in keys})
+        return out
+
+    def _selection_score(self, va: Dict[str, Any]) -> float:
+        if self.select == "weighted_field_acc":
+            n_tok = np.asarray(self.cfg.field_sizes, dtype=np.float64)
+            return float((va["field_acc"] * n_tok).sum() / n_tok.sum())
+        return float(va.get("acc", -va["loss"]))
+
+    def run(self, epochs: int, resume: bool = False,
+            run_test_each_epoch: bool = True) -> TrainState:
+        start = 0
+        if resume:
+            self.state, start = self.ckpt.restore(self.state)
+        for epoch in range(start, epochs):
+            tr = self._epoch(self.X_train, self.y_train, train=True)
+            va = self._epoch(self.X_val, self.y_val, train=False)
+            te = (self._epoch(self.X_test, self.y_test, train=False)
+                  if run_test_each_epoch else {})
+            score = self._selection_score(va)
+            is_best = score >= self.best
+            self.best = max(score, self.best)
+            self.bad = 0 if is_best else self.bad + 1
+            self.ckpt.save(epoch + 1, self.state, {"weighted_acc": score,
+                                                   **va}, is_best)
+            self.logger.log("epoch", epoch=epoch + 1, train=tr, valid=va,
+                            test=te, score=score, best=is_best)
+            self.logger.epoch_line(
+                f"Epoch {epoch + 1}: train_loss={tr['loss']:.4f}, "
+                f"valid_loss={va['loss']:.4f}, "
+                + (f"valid_acc={va.get('acc', float('nan')):.4f}, "
+                   if "acc" in va else "")
+                + (f"test_acc={te.get('acc', float('nan')):.4f}"
+                   if "acc" in te else ""))
+            if self.bad > self.patience:
+                self.logger.epoch_line(
+                    f"valid acc not improving for {self.patience} epochs")
+                break
+        return self.state

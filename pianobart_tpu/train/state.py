@@ -1,0 +1,155 @@
+"""Train state + optimizer + checkpointing.
+
+Optimizer matches the reference: AdamW(lr 2e-5, wd 0.01) with global-norm
+gradient clipping at 3.0 (``pretrain.py:76, 192-196``).  Checkpointing uses
+orbax with TRUE resume — the reference saves optimizer state every epoch but
+never reloads it (SURVEY §5) — and keeps the reference's trunk-only vs
+full-model duality plus a ``*_best`` pointer.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import optax
+from flax import linen as nn
+from flax.training import train_state
+
+from ..models.config import PianoBartConfig
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; dropout rng folded in per step."""
+
+
+def make_optimizer(learning_rate: float = 2e-5, weight_decay: float = 0.01,
+                   clip_norm: float = 3.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+    )
+
+
+def create_train_state(model: nn.Module, cfg: PianoBartConfig, rng: jax.Array,
+                       sample_args: tuple, learning_rate: float = 2e-5,
+                       weight_decay: float = 0.01,
+                       clip_norm: float = 3.0) -> TrainState:
+    variables = model.init(rng, *sample_args)
+    params = nn.meta.unbox(variables)["params"]
+    tx = make_optimizer(learning_rate, weight_decay, clip_norm)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing
+# ---------------------------------------------------------------------------
+
+class CheckpointManager:
+    """Orbax-backed checkpoints with best-copy and resume.
+
+    Layout under ``directory``:
+      ``step_N/``      — full state (params + optimizer + epoch metadata)
+      ``best/``        — copy of the best step (weighted-acc selection)
+      ``meta.json``    — {last_step, best_step, best_acc, history}
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.ckptr = ocp.StandardCheckpointer()
+        self.max_to_keep = max_to_keep
+
+    # -- meta -------------------------------------------------------------
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.directory, "meta.json")
+
+    def _read_meta(self) -> Dict[str, Any]:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {"last_step": None, "best_step": None, "best_acc": -1.0,
+                "history": []}
+
+    def _write_meta(self, meta: Dict[str, Any]) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+
+    # -- save/load ---------------------------------------------------------
+    def save(self, step: int, state: TrainState, metrics: Dict[str, Any],
+             is_best: bool) -> None:
+        path = os.path.join(self.directory, f"step_{step}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self.ckptr.save(path, {"params": state.params,
+                               "opt_state": state.opt_state,
+                               "step": np.asarray(state.step)})
+        self.ckptr.wait_until_finished()
+        meta = self._read_meta()
+        meta["last_step"] = step
+        meta["history"].append({"step": step, **{k: _jsonable(v)
+                                                 for k, v in metrics.items()}})
+        if is_best:
+            best = os.path.join(self.directory, "best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+            meta["best_step"] = step
+            meta["best_acc"] = _jsonable(metrics.get("weighted_acc", -1.0))
+        self._write_meta(meta)
+        self._gc()
+
+    def _gc(self) -> None:
+        meta = self._read_meta()
+        steps = sorted(int(d.split("_")[1]) for d in os.listdir(self.directory)
+                       if d.startswith("step_"))
+        for s in steps[:-self.max_to_keep]:
+            if s != meta.get("best_step"):
+                shutil.rmtree(os.path.join(self.directory, f"step_{s}"),
+                              ignore_errors=True)
+
+    def restore(self, state: TrainState, step: Optional[int] = None,
+                best: bool = False) -> tuple[TrainState, int]:
+        """Resume params AND optimizer state (the reference never did)."""
+        meta = self._read_meta()
+        if best:
+            path = os.path.join(self.directory, "best")
+            step = meta.get("best_step") or 0
+        else:
+            step = step if step is not None else meta.get("last_step")
+            if step is None:
+                return state, 0
+            path = os.path.join(self.directory, f"step_{step}")
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": np.asarray(state.step)}
+        restored = self.ckptr.restore(path, target=target)
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=int(restored["step"]))
+        return state, int(step)
+
+    def restore_params(self, params, best: bool = True):
+        """Load only model params (e.g. pretrain trunk into a finetune)."""
+        meta = self._read_meta()
+        name = "best" if best and meta.get("best_step") is not None else \
+            f"step_{meta.get('last_step')}"
+        path = os.path.join(self.directory, name)
+        restored = self.ckptr.restore(path, target={"params": params,
+                                                    "opt_state": None,
+                                                    "step": np.asarray(0)})
+        return restored["params"]
+
+
+def _jsonable(v):
+    if isinstance(v, (np.ndarray, jax.Array)):
+        return np.asarray(v).tolist()
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    return v

@@ -1,0 +1,180 @@
+"""Fréchet shape-similarity ("FAD") generation metrics.
+
+The reference scores generation with the ``shapesimilarity`` package
+(nelsonwenner/shape-similarity) applied to the pitch track
+(``finetune_generation.py:180-225``): similarity of 10-token windows (FAD)
+and per-bar segments (FAD-BAR), where each curve is
+``[(0, y0), (1, y1), ...]``.  The package is not shipped here, so the
+algorithm is reimplemented: procrustes-normalize both curves (resample to 50
+equal-arc-length points, center, RMS-scale), search rotations (procrustes
+angle + 10 linear probes over ±π), take the minimum discrete Fréchet
+distance, and map to a similarity score with the repo's patched
+denominator::
+
+    max(0, 1 - minF / (1e-8 + geo_avg_len / sqrt(2)))      # patches/*.patch
+
+Windows are batched with numpy (the reference loops per sample per window on
+host — its second CPU hot spot, SURVEY §3.3).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+ESTIMATION_POINTS = 50
+ROTATION_ROUNDS = 10
+RESTRICT_ROTATION = math.pi
+
+
+def _rebalance(curves: np.ndarray, n: int = ESTIMATION_POINTS) -> np.ndarray:
+    """Resample (B, P, 2) polylines to n points at equal arc length."""
+    B, P, _ = curves.shape
+    seg = np.linalg.norm(np.diff(curves, axis=1), axis=-1)      # (B, P-1)
+    cum = np.concatenate([np.zeros((B, 1)), np.cumsum(seg, axis=1)], axis=1)
+    total = cum[:, -1:]
+    total = np.where(total == 0, 1.0, total)
+    t = cum / total                                             # (B, P) in [0,1]
+    targets = np.linspace(0.0, 1.0, n)[None, :]                 # (1, n)
+    # For each target, find the segment it falls in.
+    idx = np.clip(
+        np.apply_along_axis(np.searchsorted, 1, t, targets[0], side="right") - 1,
+        0, P - 2)                                               # (B, n)
+    b = np.arange(B)[:, None]
+    t0 = t[b, idx]
+    t1 = t[b, idx + 1]
+    denom = np.where(t1 - t0 == 0, 1.0, t1 - t0)
+    w = np.clip((targets - t0) / denom, 0.0, 1.0)[..., None]
+    return curves[b, idx] * (1 - w) + curves[b, idx + 1] * w
+
+
+def _procrustes_normalize(curves: np.ndarray) -> np.ndarray:
+    c = _rebalance(curves)
+    c = c - c.mean(axis=1, keepdims=True)
+    scale = np.sqrt((c ** 2).sum(axis=(1, 2)) / c.shape[1])
+    scale = np.where(scale == 0, 1.0, scale)[:, None, None]
+    return c / scale
+
+
+def _curve_length(c: np.ndarray) -> np.ndarray:
+    return np.linalg.norm(np.diff(c, axis=1), axis=-1).sum(axis=1)
+
+
+def _procrustes_angle(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    num = (a[..., 1] * b[..., 0] - a[..., 0] * b[..., 1]).sum(axis=1)
+    den = (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]).sum(axis=1)
+    return np.arctan2(num, den)
+
+
+def _rotate(c: np.ndarray, theta: np.ndarray) -> np.ndarray:
+    cos, sin = np.cos(theta)[:, None], np.sin(theta)[:, None]
+    x, y = c[..., 0], c[..., 1]
+    return np.stack([x * cos - y * sin, x * sin + y * cos], axis=-1)
+
+
+def _frechet(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched discrete Fréchet distance over (B, n, 2) curves."""
+    B, n, _ = a.shape
+    d = np.linalg.norm(a[:, :, None, :] - b[:, None, :, :], axis=-1)  # (B,n,n)
+    ca = np.empty_like(d)
+    ca[:, 0, 0] = d[:, 0, 0]
+    for j in range(1, n):
+        ca[:, 0, j] = np.maximum(ca[:, 0, j - 1], d[:, 0, j])
+    for i in range(1, n):
+        ca[:, i, 0] = np.maximum(ca[:, i - 1, 0], d[:, i, 0])
+        m = np.minimum(np.minimum(ca[:, i - 1, :-1], ca[:, i - 1, 1:]),
+                       ca[:, i, :-1])
+        # row-sequential within the batch (the column recurrence depends on
+        # ca[i, j-1]); keep the inner loop but vectorize over B.
+        for j in range(1, n):
+            ca[:, i, j] = np.maximum(
+                np.minimum(np.minimum(ca[:, i - 1, j - 1], ca[:, i - 1, j]),
+                           ca[:, i, j - 1]), d[:, i, j])
+    return ca[:, -1, -1]
+
+
+def shape_similarity_batch(y1: np.ndarray, y2: np.ndarray) -> np.ndarray:
+    """Similarity of (B, P) value tracks; x coords are 0..P-1.
+
+    Returns (B,) scores in [0, 1] rounded to 4 decimals like the package.
+    """
+    B, P = y1.shape
+    x = np.broadcast_to(np.arange(P, dtype=np.float64), (B, P))
+    c1 = np.stack([x, y1.astype(np.float64)], axis=-1)
+    c2 = np.stack([x, y2.astype(np.float64)], axis=-1)
+    n1 = _procrustes_normalize(c1)
+    n2 = _procrustes_normalize(c2)
+    geo = np.sqrt(_curve_length(n1) * _curve_length(n2))
+
+    thetas = [np.zeros(B)]
+    pt = _procrustes_angle(n1, n2)
+    pt = np.where(pt > math.pi, pt - 2 * math.pi, pt)
+    thetas.append(np.where(np.abs(pt) < RESTRICT_ROTATION, pt, 0.0))
+    for i in range(ROTATION_ROUNDS):
+        t = -RESTRICT_ROTATION + (2 * i * RESTRICT_ROTATION) / (ROTATION_ROUNDS - 1)
+        thetas.append(np.full(B, t))
+
+    best = np.full(B, np.inf)
+    for th in thetas:
+        best = np.minimum(best, _frechet(_rotate(n1, th), n2))
+    score = np.maximum(1 - best / (1e-8 + geo / math.sqrt(2)), 0.0)
+    return np.round(score, 4)
+
+
+def fad_windows(y_true: np.ndarray, y_pred: np.ndarray,
+                gap: int = 10) -> float:
+    """FAD over consecutive ``gap``-token windows of one sample's pitch track.
+
+    Matches finetune_generation.py:208-214 (each window drops its last
+    element: ``y[k*gap:(k+1)*gap-1]``).
+    """
+    l = len(y_true)
+    k = l // gap
+    if k == 0:
+        return 0.0
+    w1 = np.stack([y_true[i * gap:(i + 1) * gap - 1] for i in range(k)])
+    w2 = np.stack([y_pred[i * gap:(i + 1) * gap - 1] for i in range(k)])
+    return float(shape_similarity_batch(w1, w2).sum() / k)
+
+
+def fad_bars(y_true: np.ndarray, y_pred: np.ndarray,
+             bars: np.ndarray) -> float:
+    """Length-weighted per-bar FAD (finetune_generation.py:196-205, 216-217).
+
+    Iterates bars ``0 .. bars[-2]-1`` like the reference and weights each
+    bar's similarity by its note count.
+    """
+    if len(bars) < 2:
+        return 0.0
+    total, index = 0.0, 0
+    groups = []
+    for k in range(int(bars[-2])):
+        sel = bars == k
+        if sel.sum() > 1:
+            groups.append((y_true[sel], y_pred[sel], int(sel.sum())))
+    for c1, c2, n in groups:
+        s = shape_similarity_batch(c1[None, :], c2[None, :])[0]
+        total += float(s) * n
+        index += n
+    return total / index if index else 0.0
+
+
+def generation_fad(y: np.ndarray, outputs: np.ndarray,
+                   attn: np.ndarray) -> Tuple[float, float]:
+    """Batch (FAD, FAD_BAR) for (B, S, 8) targets/predictions + (B, S) mask.
+
+    Faithful to the reference's per-batch averaging
+    (finetune_generation.py:186-225).
+    """
+    B = y.shape[0]
+    fad = 0.0
+    fad_bar = 0.0
+    for j in range(B):
+        sel = attn[j] == 1
+        y1 = y[j, sel, 3]
+        y2 = outputs[j, sel, 3]
+        bars = y[j, sel, 0]
+        fad += fad_windows(y1, y2)
+        fad_bar += fad_bars(y1, y2, bars)
+    return fad / B, fad_bar / B

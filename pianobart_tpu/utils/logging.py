@@ -1,0 +1,66 @@
+"""Structured metrics logging.
+
+The reference logs per-step losses to stdout and appends epoch lines to a
+plain ``result/**/log`` file (``main.py:90-92``).  We keep that file for
+familiarity and add a machine-readable ``metrics.jsonl`` stream (one JSON
+object per event) plus optional step timing — the observability SURVEY §5
+calls for.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _jsonable(v):
+    try:
+        import jax
+        if isinstance(v, jax.Array):
+            v = np.asarray(v)
+    except Exception:
+        pass
+    if isinstance(v, np.ndarray):
+        return np.round(v.astype(np.float64), 6).tolist()
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+class MetricsLogger:
+    def __init__(self, directory: str, name: str = "metrics",
+                 echo: bool = True):
+        os.makedirs(directory, exist_ok=True)
+        self.jsonl_path = os.path.join(directory, f"{name}.jsonl")
+        self.log_path = os.path.join(directory, "log")
+        self.echo = echo
+        self._t0 = time.time()
+
+    def log(self, event: str, **fields: Any) -> None:
+        rec = {"event": event, "t": round(time.time() - self._t0, 3)}
+        rec.update({k: _jsonable(v) for k, v in fields.items()})
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def epoch_line(self, text: str) -> None:
+        """Reference-style append-only epoch log (main.py:90-92)."""
+        with open(self.log_path, "a") as f:
+            f.write(text + "\n")
+        if self.echo:
+            print(text)
+
+    def step_echo(self, step: int, metrics: Dict[str, Any],
+                  every: int = 50) -> None:
+        if self.echo and step % every == 0:
+            loss = float(np.asarray(metrics.get("loss", np.nan)))
+            acc = metrics.get("weighted_acc")
+            acc = float(np.asarray(acc)) if acc is not None else float("nan")
+            sys.stdout.write(f"step {step}: loss {loss:.4f} acc {acc:.4f}\n")
