@@ -1,0 +1,103 @@
+"""Benchmark harness.
+
+Measures the headline metric from BASELINE.md on the attached TPU chip:
+pretraining throughput in octuple tokens/sec/chip for the full PianoBART
+workload (d_model 1024, 8+8 layers, seq 1024, fused 1280-way vocab,
+on-device corruption inside the step — i.e. the COMPLETE step the reference
+runs, not just the forward).
+
+Also measures batch-1 KV-cached continuation decode latency for a
+1024-token intro (secondary target: < 2 s).
+
+Baseline note: the reference publishes no numbers (SURVEY §6).
+``A100_BASELINE_TOKS`` is a documented engineering estimate of the
+reference stack's throughput on one A100: the torch model is ~17 TFLOP/step
+at batch 16 (6·170M·16·1024), but the shipped trainer corrupts每 sample in
+host Python (pretrain.py:131-144) and syncs argmax to host numpy every step
+(pretrain.py:164-168), capping it well below compute bound.  We use
+18_000 tok/s; vs_baseline is measured/value against that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_TOKS = 18_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from pianobart_tpu import vocab as V
+    from pianobart_tpu.models import PianoBartConfig, PianoBartLM
+    from pianobart_tpu.train.pretrain import pretrain_step
+    from pianobart_tpu.train.state import TrainState, make_optimizer
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    cfg = PianoBartConfig(dtype=jnp.bfloat16)
+    model = PianoBartLM(cfg)
+
+    B, S = 32, cfg.max_len
+    rng = jax.random.PRNGKey(0)
+    ids0 = jnp.zeros((B, S, 8), jnp.int32)
+    m0 = jnp.ones((B, S))
+    variables = nn.meta.unbox(model.init(rng, ids0, ids0, m0, m0))
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=make_optimizer())
+
+    npr = np.random.default_rng(0)
+    batch = np.zeros((B, S, 8), dtype=np.int32)
+    for f in range(8):
+        batch[..., f] = npr.integers(0, V.TOKEN_BOUNDARY[f], (B, S))
+    batch = jnp.asarray(batch)
+
+    # Warmup / compile.
+    state, metrics = pretrain_step(state, batch, rng, cfg, 0.15)
+    jax.block_until_ready(metrics["loss"])
+
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = pretrain_step(state, batch, rng, cfg, 0.15)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    toks_per_sec = steps * B * S / dt
+    step_ms = dt / steps * 1e3
+
+    # Secondary: batch-1 decode latency for a full 1024-token intro.
+    decode_s = None
+    try:
+        from pianobart_tpu.decode import generate
+        intro = jnp.asarray(batch[:1])
+        params = {"params": state.params}
+        out = generate(params, intro, cfg=cfg, max_steps=S)
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        out = generate(params, intro, rng=jax.random.PRNGKey(1), cfg=cfg,
+                       max_steps=S)
+        jax.block_until_ready(out)
+        decode_s = time.perf_counter() - t0
+    except Exception as exc:  # keep the primary metric robust
+        print(f"decode bench failed: {exc}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "pretrain_octuple_tokens_per_sec_per_chip",
+        "value": round(toks_per_sec, 1),
+        "unit": f"tok/s ({platform}, bf16, batch {B}, step {step_ms:.1f} ms"
+                + (f", decode1024 {decode_s:.2f} s" if decode_s else "")
+                + ")",
+        "vs_baseline": round(toks_per_sec / A100_BASELINE_TOKS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

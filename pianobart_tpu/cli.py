@@ -1,0 +1,449 @@
+"""Command-line interface.
+
+One real CLI with subcommands replaces the reference's comment-toggled
+``main.py`` entries (``main.py:423-427``) and its six duplicated argparse
+blocks.  Flag names follow the reference where sensible (``--datasets``,
+``--ckpt``, ``--batch_size``, ``--max_seq_len``, ``--hs``, ``--layers``,
+``--ffn_dims``, ``--heads``, ``--epochs``, ``--lr``, ``--nopretrain``).
+
+    python -m pianobart_tpu.cli pretrain --dataroot Data/output_pretrain ...
+    python -m pianobart_tpu.cli finetune --task composer --dataroot ...
+    python -m pianobart_tpu.cli finetune-generation --dataroot ...
+    python -m pianobart_tpu.cli ablation --dataroot ...
+    python -m pianobart_tpu.cli tokenize --dataset POP909.zip --task pretrain
+    python -m pianobart_tpu.cli demo --input song.mid --output out.mid
+    python -m pianobart_tpu.cli eval-gen --ckpt ... --dataroot ...
+    python -m pianobart_tpu.cli merge --models a b c --method average
+    python -m pianobart_tpu.cli check --file data.npy --task pretrain
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--max_seq_len", type=int, default=1024)
+    p.add_argument("--hs", type=int, default=1024)
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--ffn_dims", type=int, default=2048)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+
+
+def _add_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--name", type=str, default="pianobart")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint to initialize from (orbax dir or torch .ckpt)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume epoch/optimizer from the save dir")
+    p.add_argument("--nopretrain", action="store_true")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="dpxTPxSP, e.g. 4x2x1 (default: all devices on dp)")
+    p.add_argument("--seed", type=int, default=2023)
+
+
+def _cfg_from_args(args, **kw):
+    import jax.numpy as jnp
+    from .models import PianoBartConfig
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    return PianoBartConfig(
+        d_model=args.hs, encoder_layers=args.layers,
+        decoder_layers=args.layers, ffn_dim=args.ffn_dims,
+        num_heads=args.heads, max_len=args.max_seq_len, dtype=dtype, **kw)
+
+
+def _make_mesh(args):
+    from .parallel.mesh import make_mesh
+    if args.mesh:
+        dp, tp, sp = (int(x) for x in args.mesh.split("x"))
+        return make_mesh(dp=dp, tp=tp, sp=sp)
+    return make_mesh(tp=1, sp=1)
+
+
+def _init_state(model, cfg, args, lr: float):
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from .train.state import TrainState, make_optimizer
+    from .parallel.mesh import shard_params
+
+    rng = jax.random.PRNGKey(args.seed)
+    B, S = 2, cfg.max_len
+    ids = jnp.zeros((B, S, 8), jnp.int32)
+    m = jnp.ones((B, S))
+    if isinstance(model.__class__.__name__, str) and \
+            model.__class__.__name__ == "SequenceClassification":
+        sample = (ids, m)
+    elif model.__class__.__name__ == "TokenClassification":
+        dec = (jnp.zeros((B, S), jnp.int32)
+               if cfg.decoder_label_vocab is not None else ids)
+        sample = (ids, dec, m, m)
+    else:
+        sample = (ids, ids, m, m)
+    variables = model.init(rng, *sample)
+    mesh = _make_mesh(args)
+    params, _ = shard_params(variables, mesh)
+    state = TrainState.create(apply_fn=model.apply, params=params["params"],
+                              tx=make_optimizer(lr))
+    return state, mesh
+
+
+def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
+    """--ckpt: torch .ckpt/.pth (reference format) or orbax dir."""
+    if not args.ckpt or args.nopretrain:
+        return state
+    if os.path.isdir(args.ckpt):
+        from .train.state import CheckpointManager
+        mgr = CheckpointManager(args.ckpt)
+        params = mgr.restore_params(state.params)
+        return state.replace(params=params)
+    from .compat.torch_import import import_checkpoint
+    tree = import_checkpoint(args.ckpt, cfg, kind=kind)
+    # graft whatever subtrees match (trunk-only checkpoints into full models)
+    params = dict(state.params)
+    for k, v in tree.items():
+        if k in params:
+            params[k] = v
+    return state.replace(params=params)
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+def cmd_pretrain(args) -> int:
+    import jax
+    from flax import linen as nn
+    from .models import PianoBartLM
+    from .train.runner import PretrainRunner
+    from .parallel.mesh import LOGICAL_RULES, batch_sharding
+    from .data import load_pretrain
+
+    cfg = _cfg_from_args(args)
+    model = PianoBartLM(cfg)
+    X_train, X_val = load_pretrain(args.dataroot, args.datasets,
+                                   seed=args.seed)
+    print(f"train {X_train.shape} valid {X_val.shape}")
+    state, mesh = _init_state(model, cfg, args, args.lr)
+    state = _load_init_ckpt(state, args, cfg, kind="trunk")
+    save_dir = os.path.join("result", "pretrain", args.name)
+
+    import jax.numpy as jnp
+    put = functools.partial(jax.device_put,
+                            device=batch_sharding(mesh))
+    runner = PretrainRunner(state, cfg, X_train, X_val, save_dir,
+                            batch_size=args.batch_size,
+                            mask_percent=args.mask_percent,
+                            patience=30, seed=args.seed,
+                            put_batch=lambda b: put(jnp.asarray(b)))
+    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
+        runner.run(args.epochs, resume=args.resume)
+    return 0
+
+
+def cmd_finetune(args) -> int:
+    from flax import linen as nn
+    from .models import SequenceClassification, TokenClassification
+    from .train.finetune import finetune_seq_step, finetune_token_step
+    from .train.runner import SupervisedRunner
+    from .parallel.mesh import LOGICAL_RULES
+    from .data import load_finetune
+
+    class_num = args.class_num or {"melody": 4, "velocity": 7,
+                                   "composer": 8, "emotion": 4}[args.task]
+    seq = args.task in ("composer", "emotion")
+    velocity = args.task == "velocity"
+    cfg = _cfg_from_args(
+        args, decoder_label_vocab=(class_num + 1 if velocity else None))
+    if seq:
+        model = SequenceClassification(cfg, class_num=class_num)
+    else:
+        model = TokenClassification(cfg, class_num=class_num + 1)
+
+    data = load_finetune(args.dataroot, args.dataset, args.task)
+    state, mesh = _init_state(model, cfg, args, args.lr)
+    state = _load_init_ckpt(state, args, cfg, kind="trunk")
+    save_dir = os.path.join("result", "finetune", f"{args.task}_{args.name}")
+
+    if seq:
+        step = functools.partial(finetune_seq_step, cfg=cfg,
+                                 reg_weight=args.weight)
+    else:
+        step = functools.partial(finetune_token_step, cfg=cfg,
+                                 velocity=velocity, reg_weight=args.weight)
+
+    def step_fn(state, bx, by, rng, train=True):
+        return step(state, bx, by, rng, train=train)
+
+    runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
+                              batch_size=args.batch_size, patience=3,
+                              seed=args.seed)
+    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
+        runner.run(args.epochs, resume=args.resume)
+    return 0
+
+
+def cmd_finetune_generation(args) -> int:
+    from flax import linen as nn
+    from .models import PianoBartLM
+    from .train.generation import generation_step
+    from .train.runner import SupervisedRunner
+    from .parallel.mesh import LOGICAL_RULES
+    from .data import load_finetune
+    from .utils.fad import generation_fad
+
+    cfg = _cfg_from_args(args)
+    model = PianoBartLM(cfg)
+    data = load_finetune(args.dataroot, args.datasets, "gen")
+    state, mesh = _init_state(model, cfg, args, args.lr)
+    state = _load_init_ckpt(state, args, cfg)
+    save_dir = os.path.join("result", "finetune", f"generation_{args.name}")
+
+    def step_fn(state, bx, by, rng, train=True):
+        return generation_step(state, bx, by, rng, cfg=cfg,
+                               decoder_mode=args.decoder_mode, train=train)
+
+    def eval_hook(bx, by, metrics):
+        if not args.fad:
+            return {}
+        fad, fad_bar = generation_fad(by, np.asarray(metrics["outputs"]),
+                                      np.asarray(metrics["attn_dec"]))
+        return {"fad": fad, "fad_bar": fad_bar}
+
+    runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
+                              batch_size=args.batch_size, patience=30,
+                              seed=args.seed, select="weighted_field_acc",
+                              eval_hook=eval_hook)
+    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
+        runner.run(args.epochs, resume=args.resume)
+    return 0
+
+
+def cmd_ablation(args) -> int:
+    from flax import linen as nn
+    from .models import PianoBartLM
+    from .train.generation import ablation_step
+    from .train.runner import SupervisedRunner
+    from .parallel.mesh import LOGICAL_RULES
+    import numpy as _np
+
+    cfg = _cfg_from_args(args)
+    model = PianoBartLM(cfg)
+    # ablation data: full sequences (Ablation.py:279-304)
+    root = args.dataroot
+    parts = []
+    for split in ("train", "test", "valid"):
+        p = os.path.join(root, f"{args.datasets}_{split}.npy")
+        if os.path.exists(p):
+            parts.append(np.load(p, allow_pickle=True))
+    arr = np.concatenate(parts, axis=0)
+    rng = _np.random.default_rng(args.seed)
+    arr = arr[rng.permutation(len(arr))]
+    s1, s2 = int(len(arr) * 0.8), int(len(arr) * 0.9)
+    X_train, X_val, X_test = arr[:s1], arr[s1:s2], arr[s2:]
+    data = (X_train, X_val, X_test, X_train, X_val, X_test)
+
+    state, mesh = _init_state(model, cfg, args, args.lr)
+    state = _load_init_ckpt(state, args, cfg)
+    save_dir = os.path.join("result", "finetune", f"ablation_{args.name}")
+
+    def step_fn(state, bx, by, rng, train=True):
+        return ablation_step(state, bx, rng, cfg=cfg, train=train)
+
+    runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
+                              batch_size=args.batch_size, patience=30,
+                              seed=args.seed, select="weighted_field_acc")
+    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
+        runner.run(args.epochs, resume=args.resume)
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    from .tokenizer.pipeline import run_dataset_pipeline
+    run_dataset_pipeline(args.dataset, task=args.task, pad=args.pad,
+                         out_root=args.out_root, seed=args.seed)
+    return 0
+
+
+def cmd_demo(args) -> int:
+    from .serve.demo import run_demo
+    run_demo(input_path=args.input, output_path=args.output, ckpt=args.ckpt,
+             max_seq_len=args.max_seq_len, hs=args.hs, layers=args.layers,
+             ffn_dims=args.ffn_dims, heads=args.heads,
+             nopretrain=args.nopretrain)
+    return 0
+
+
+def cmd_eval_gen(args) -> int:
+    """Batch AR generation over a test set -> stacked .npy (eval_generation.py)."""
+    import jax
+    import jax.numpy as jnp
+    from .models import PianoBartLM
+    from .decode import generate
+    from .models.pianobart import attention_mask_from_bars
+
+    cfg = _cfg_from_args(args)
+    X = np.load(os.path.join(args.dataroot, f"{args.datasets}_test.npy"),
+                allow_pickle=True).astype(np.int32)
+    model = PianoBartLM(cfg)
+    state, mesh = _init_state(model, cfg, args, args.lr)
+    state = _load_init_ckpt(state, args, cfg)
+    params = {"params": state.params}
+    outs = []
+    rng = jax.random.PRNGKey(args.seed)
+    bs = args.batch_size
+    for i in range(0, len(X), bs):
+        chunk = jnp.asarray(X[i:i + bs])
+        rng, sub = jax.random.split(rng)
+        outs.append(np.asarray(generate(params, chunk, rng=sub, cfg=cfg)))
+        print(f"generated {i + len(chunk)}/{len(X)}")
+    out = np.concatenate(outs, axis=0)
+    np.save(args.output, out)
+    print(f"saved {out.shape} to {args.output}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .merge.cli import run_merge
+    run_merge(args)
+    return 0
+
+
+def cmd_check(args) -> int:
+    from .tokenizer.validate import check_finetune, check_pretrain
+    arr = np.load(args.file, allow_pickle=True)
+    if args.task == "pretrain":
+        report = check_pretrain(arr)
+    else:
+        ans = np.load(args.ans, allow_pickle=True) if args.ans else None
+        report = check_finetune(arr, ans, task=args.task)
+    print(report)
+    return 0 if report.ok else 1
+
+
+def cmd_serve(args) -> int:
+    from .serve.app import create_app
+    app = create_app(ckpt=args.ckpt)
+    app.run(host=args.host, port=args.port)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pianobart_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pretrain")
+    sp.add_argument("--datasets", type=str, nargs="+",
+                    default=["asap", "EMOPIA", "Pianist8", "POP1K7", "POP909"])
+    sp.add_argument("--dataroot", type=str, default="Data/output_pretrain")
+    sp.add_argument("--mask_percent", type=float, default=0.15)
+    _add_model_flags(sp)
+    _add_train_flags(sp)
+    sp.set_defaults(fn=cmd_pretrain)
+
+    sf = sub.add_parser("finetune")
+    sf.add_argument("--task", required=True,
+                    choices=["melody", "velocity", "composer", "emotion"])
+    sf.add_argument("--dataset", type=str, required=True)
+    sf.add_argument("--dataroot", type=str, default="Data/finetune/others")
+    sf.add_argument("--class_num", type=int, default=None)
+    sf.add_argument("--weight", type=float, default=None)
+    _add_model_flags(sf)
+    _add_train_flags(sf)
+    sf.set_defaults(fn=cmd_finetune, batch_size=8, epochs=50)
+
+    sg = sub.add_parser("finetune-generation")
+    sg.add_argument("--datasets", type=str, default="maestro")
+    sg.add_argument("--dataroot", type=str, default="Data/finetune/others")
+    sg.add_argument("--decoder_mode", choices=["intro", "shifted"],
+                    default="intro")
+    sg.add_argument("--fad", action="store_true",
+                    help="compute FAD metrics during eval epochs")
+    _add_model_flags(sg)
+    _add_train_flags(sg)
+    sg.set_defaults(fn=cmd_finetune_generation, batch_size=8, lr=2e-6)
+
+    sa = sub.add_parser("ablation")
+    sa.add_argument("--datasets", type=str, default="maestro")
+    sa.add_argument("--dataroot", type=str, default="Data/output_generation")
+    _add_model_flags(sa)
+    _add_train_flags(sa)
+    sa.set_defaults(fn=cmd_ablation, batch_size=8)
+
+    st = sub.add_parser("tokenize")
+    st.add_argument("--dataset", type=str, required=True,
+                    help="dataset zip or directory of MIDI files")
+    st.add_argument("--task", default="pretrain",
+                    choices=["pretrain", "composer", "generate", "melody",
+                             "velocity", "emotion"])
+    st.add_argument("--pad", action="store_true", default=None)
+    st.add_argument("--out_root", type=str, default=None)
+    st.add_argument("--seed", type=int, default=2023)
+    st.set_defaults(fn=cmd_tokenize)
+
+    sd = sub.add_parser("demo")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--output", default="./output.mid")
+    sd.add_argument("--ckpt", default=None)
+    sd.add_argument("--nopretrain", action="store_true")
+    _add_model_flags(sd)
+    sd.set_defaults(fn=cmd_demo)
+
+    se = sub.add_parser("eval-gen")
+    se.add_argument("--datasets", type=str, default="maestro")
+    se.add_argument("--dataroot", type=str, required=True)
+    se.add_argument("--output", type=str, default="generation_output.npy")
+    _add_model_flags(se)
+    _add_train_flags(se)
+    se.set_defaults(fn=cmd_eval_gen, batch_size=8)
+
+    sm = sub.add_parser("merge")
+    sm.add_argument("--models", nargs="+", required=True,
+                    help="finetuned checkpoints (torch .ckpt or orbax dirs)")
+    sm.add_argument("--pretrained", type=str, default=None,
+                    help="pretrained backbone checkpoint")
+    sm.add_argument("--method", default="mask_merging",
+                    choices=["average_merging", "task_arithmetic",
+                             "ties_merging", "mask_merging"])
+    sm.add_argument("--mask_apply_method", default="average_merging")
+    sm.add_argument("--weight_mask_rate", type=float, default=0.8)
+    sm.add_argument("--use_weight_rescale", action="store_true", default=True)
+    sm.add_argument("--mask_strategy", default="random",
+                    choices=["random", "magnitude"])
+    sm.add_argument("--scaling_coefficient", type=float, default=1.0)
+    sm.add_argument("--param_value_mask_rate", type=float, default=0.8)
+    sm.add_argument("--output", type=str, default="merged_params.msgpack")
+    sm.set_defaults(fn=cmd_merge)
+
+    sc = sub.add_parser("check")
+    sc.add_argument("--file", required=True)
+    sc.add_argument("--ans", default=None)
+    sc.add_argument("--task", default="pretrain")
+    sc.set_defaults(fn=cmd_check)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--ckpt", default=None)
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=5000)
+    sv.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,6 +31,16 @@ KVCache = Dict[str, Any]
 NEG_INF = -1e9
 
 
+def _constrain_activations(x: jax.Array) -> jax.Array:
+    """Logical sharding hint for (batch, seq, embed) activations.
+
+    Under ``nn.logical_axis_rules`` mapping batch->dp and seq->sp this
+    shards the sequence axis over the ``sp`` mesh axis (sequence
+    parallelism); with no rules in scope it is a no-op.
+    """
+    return nn.with_logical_constraint(x, ("batch", "seq", "embed"))
+
+
 def _dense(features: int, cfg: PianoBartConfig, kernel_axes, name: str) -> nn.Dense:
     return nn.Dense(
         features,
@@ -217,11 +227,13 @@ class Encoder(nn.Module):
         x = inputs_embeds + PositionalEmbedding(cfg, name="embed_positions")(S)
         x = _layer_norm(cfg, "layernorm_embedding")(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = _constrain_activations(x)
         layer_cls = EncoderLayer
         if cfg.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
         for i in range(cfg.encoder_layers):
             x = layer_cls(cfg, name=f"layers_{i}")(x, pad_mask, deterministic)
+            x = _constrain_activations(x)
         return x
 
 
@@ -237,6 +249,8 @@ class Decoder(nn.Module):
         x = inputs_embeds + PositionalEmbedding(cfg, name="embed_positions")(S, start)
         x = _layer_norm(cfg, "layernorm_embedding")(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        if cache is None:
+            x = _constrain_activations(x)
         new_cache = {}
         layer_cls = DecoderLayer
         if cfg.remat and cache is None:
@@ -248,4 +262,6 @@ class Decoder(nn.Module):
                 cache_index, deterministic)
             if lc is not None:
                 new_cache[f"layers_{i}"] = lc
+            if cache is None:
+                x = _constrain_activations(x)
         return x, (new_cache or None)

@@ -1,0 +1,180 @@
+"""Offline dataset generation pipeline.
+
+Replaces the reference's interactive ``convert.py __main__``
+(``convert.py:569-651``): reads a dataset zip (or a directory of MIDI
+files), splits files 80/10/10, tokenizes per task, and writes the same
+``.npy`` artifact layout the trainers consume:
+
+* ``<out>/<dataset>_{train,valid,test}.npy``  (+ ``..._ans.npy`` labels)
+* pretrain without padding / melody / velocity: flat streams reshaped to
+  ``(m, 1024, ...)`` via :func:`data_split`
+* composer: ``<dataset>_composer.json`` name->id map from directory names
+
+Label extraction is explicit path logic instead of the reference's fragile
+regexes (``convert.py:479-489``; the asap regex matches literally "ata" on
+the shipped paths): composer = the path component under the dataset root,
+emotion = ``Q<n>`` prefix quadrant - 1.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import random
+import zipfile
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import vocab as V
+from ..midi.parser import read_midi_bytes
+from .codec import EMOTION_MAP, MELODY_MAP, VELOCITY_MAP
+from .segment import data_split, process_file
+
+__all__ = ["run_dataset_pipeline", "list_midi_files", "composer_from_path",
+           "emotion_from_path"]
+
+
+def list_midi_files(dataset_path: str) -> List[Tuple[str, bytes]]:
+    """(relative name, bytes) for each MIDI file in a zip or directory."""
+    out: List[Tuple[str, bytes]] = []
+    if os.path.isdir(dataset_path):
+        for root, _, files in os.walk(dataset_path):
+            for f in sorted(files):
+                if f.lower().endswith((".mid", ".midi")):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out.append((os.path.relpath(p, dataset_path), fh.read()))
+    else:
+        with zipfile.ZipFile(dataset_path) as z:
+            for n in z.namelist():
+                if n.lower().endswith((".mid", ".midi")):
+                    out.append((n, z.read(n)))
+    return out
+
+
+def composer_from_path(rel_path: str) -> str:
+    """First meaningful directory component (composer datasets organize
+    one directory per composer)."""
+    parts = [p for p in rel_path.split("/") if p and p != "midi"]
+    return parts[-2] if len(parts) >= 2 else "UNKNOWN"
+
+
+def emotion_from_path(rel_path: str) -> Optional[int]:
+    """EMOPIA names files ``Q<quadrant>_...`` (convert.py:489)."""
+    base = os.path.basename(rel_path)
+    if len(base) >= 2 and base[0] in "Qq" and base[1].isdigit():
+        return int(base[1]) - 1
+    return None
+
+
+def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
+                         pad: Optional[bool] = None,
+                         out_root: Optional[str] = None,
+                         seed: int = 2023,
+                         log=print) -> Dict[str, str]:
+    """Tokenize one dataset for one task.  Returns {artifact: path}."""
+    if pad is None:
+        pad = task not in ("melody", "velocity")
+    if task in ("melody", "velocity"):
+        pad = False
+
+    name = os.path.splitext(os.path.basename(dataset_path.rstrip("/")))[0]
+    out_root = out_root or f"Data/output_{task}"
+    out_dir = os.path.join(out_root, name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    files = list_midi_files(dataset_path)
+    rng = random.Random(seed)
+    rng.shuffle(files)
+    n = len(files)
+    splits = {
+        "train": files[: 80 * n // 100],
+        "valid": files[80 * n // 100: 90 * n // 100],
+        "test": files[90 * n // 100:],
+    }
+
+    composer_map: Dict[str, int] = {}
+    artifacts: Dict[str, str] = {}
+    if task == "composer":
+        composers = sorted({composer_from_path(p) for p, _ in files})
+        composer_map = {c: i for i, c in enumerate(composers)}
+        jpath = os.path.join(out_dir, f"{name}_{task}.json")
+        with open(jpath, "w") as f:
+            json.dump(composer_map, f, indent=4)
+        artifacts["composer_map"] = jpath
+
+    ok_cnt, all_cnt = 0, 0
+    dedup: Dict[str, str] = {}
+    for split, split_files in splits.items():
+        sequences: List = []
+        labels: List = []
+        for rel, raw in split_files:
+            all_cnt += 1
+            try:
+                midi = read_midi_bytes(raw)
+            except Exception as exc:
+                log(f"ERROR(PARSE): {rel} {exc}")
+                continue
+            composer = composer_from_path(rel) if task == "composer" else None
+            emotion = emotion_from_path(rel) if task == "emotion" else None
+            res = process_file(midi, task=task, pad=pad, composer=composer,
+                               emotion=emotion, dedup_seen=dedup,
+                               file_name=rel)
+            if not res.ok:
+                log(f"ERROR({res.status.upper()}): {res.detail}")
+                continue
+            ok_cnt += 1
+            if task == "generate":
+                sequences.extend(res.sequences)
+                labels.extend(res.labels)
+            elif task in ("melody", "velocity"):
+                for rows, labs in zip(res.sequences, res.labels):
+                    sequences.extend(rows)
+                    labels.extend(labs)
+            elif task == "pretrain":
+                if pad:
+                    sequences.extend(res.sequences)
+                else:
+                    for rows in res.sequences:
+                        sequences.extend(rows)
+            else:  # composer / emotion
+                sequences.extend(res.sequences)
+                labels.extend(res.labels)
+
+        if not sequences:
+            continue
+        out_file = os.path.join(out_dir, f"{name}_{split}.npy")
+        ans_file = os.path.join(out_dir, f"{name}_{split}_ans.npy")
+        if task == "pretrain":
+            arr = np.asarray(sequences, dtype=np.int64)
+            if not pad:
+                arr = data_split(arr)
+                out_file = os.path.join(out_dir, f"{name}_{split}_split.npy")
+            np.save(out_file, arr)
+        elif task in ("melody", "velocity"):
+            other = (MELODY_MAP if task == "melody" else VELOCITY_MAP)["OTHER"]
+            arr = data_split(np.asarray(sequences, dtype=np.int64))
+            ans = data_split(np.asarray(labels, dtype=np.int64),
+                             content=other, tokens_per_line=1)
+            np.save(out_file, arr)
+            np.save(ans_file, ans)
+            artifacts[f"{split}_ans"] = ans_file
+        elif task == "generate":
+            np.save(out_file, np.asarray(sequences, dtype=np.int64))
+            gen_file = os.path.join(out_dir, f"{name}_{split}_genans.npy")
+            np.save(gen_file, np.asarray(labels, dtype=np.int64))
+            artifacts[f"{split}_genans"] = gen_file
+        else:  # composer / emotion
+            np.save(out_file, np.asarray(sequences, dtype=np.int64))
+            if task == "composer":
+                ids = [composer_map[c] for c in labels]
+            else:
+                ids = labels
+            np.save(ans_file, np.asarray(ids, dtype=np.int64))
+            artifacts[f"{split}_ans"] = ans_file
+        artifacts[split] = out_file
+        log(f"{split}: {len(sequences)} sequences -> {out_file}")
+
+    log(f"{ok_cnt}/{all_cnt} MIDI files successfully processed")
+    return artifacts

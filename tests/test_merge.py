@@ -1,0 +1,179 @@
+"""Model merging toolkit tests (+ parity with reference merging methods)."""
+import numpy as np
+import pytest
+
+from pianobart_tpu.merge import (average_merging, combine, fisher_merging,
+                                 mask_model_weights, mask_tensor,
+                                 regmean_merging, task_arithmetic,
+                                 task_vector, ties_merging)
+
+
+def tree(scale=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"a": {"kernel": rng.normal(size=(4, 3)) * scale,
+                  "bias": rng.normal(size=(3,)) * scale},
+            "b": {"kernel": rng.normal(size=(3, 2)) * scale}}
+
+
+def test_task_vector_and_combine():
+    pre, fin = tree(seed=1), tree(seed=2)
+    tv = task_vector(pre, fin)
+    np.testing.assert_allclose(tv["a"]["kernel"],
+                               fin["a"]["kernel"] - pre["a"]["kernel"])
+    back = combine(pre, tv, 1.0)
+    np.testing.assert_allclose(back["b"]["kernel"], fin["b"]["kernel"])
+
+
+def test_average():
+    ms = [tree(seed=i) for i in range(3)]
+    avg = average_merging(ms)
+    np.testing.assert_allclose(
+        avg["a"]["bias"], np.mean([m["a"]["bias"] for m in ms], axis=0))
+
+
+def test_task_arithmetic():
+    pre = tree(seed=0)
+    ms = [tree(seed=1), tree(seed=2)]
+    out = task_arithmetic(pre, ms, scaling=0.5)
+    expect = pre["a"]["kernel"] + 0.5 * (
+        (ms[0]["a"]["kernel"] - pre["a"]["kernel"])
+        + (ms[1]["a"]["kernel"] - pre["a"]["kernel"]))
+    np.testing.assert_allclose(out["a"]["kernel"], expect)
+
+
+def test_mask_tensor_random_rescale():
+    rng = np.random.default_rng(0)
+    x = np.ones((100, 100))
+    out = mask_tensor(x, 0.8, True, "random", rng)
+    kept = out != 0
+    assert 0.1 < kept.mean() < 0.3          # ~20% kept
+    np.testing.assert_allclose(out[kept], 5.0)  # 1/(1-0.8)
+
+
+def test_mask_tensor_magnitude():
+    rng = np.random.default_rng(0)
+    x = np.arange(1, 101, dtype=float)
+    out = mask_tensor(x, 0.5, False, "magnitude", rng)
+    assert (out[:50] == 0).all() and (out[50:] != 0).all()
+
+
+def test_mask_model_weights_delta():
+    pre, fin = tree(seed=3), tree(seed=4)
+    out = mask_model_weights(fin, pre, weight_mask_rate=1.0,
+                             use_weight_rescale=False, mask_strategy="random")
+    # rate 1.0 drops the whole delta -> returns the pretrained model
+    np.testing.assert_allclose(out["a"]["kernel"], pre["a"]["kernel"])
+
+
+def test_ties_sign_election():
+    pre = {"w": np.zeros(4)}
+    m1 = {"w": np.array([1.0, -1.0, 2.0, 0.0])}
+    m2 = {"w": np.array([3.0, 1.0, -0.5, 0.0])}
+    out = ties_merging(pre, [m1, m2], param_value_mask_rate=0.0, scaling=1.0)
+    # index 0: both positive -> mean 2.0; index 1: sum is 0 -> majority sign
+    # (+) keeps +1; index 2: sum positive keeps 2.0
+    np.testing.assert_allclose(out["w"][0], 2.0)
+    np.testing.assert_allclose(out["w"][2], 2.0)
+
+
+def test_fisher_merging_prefers_confident_model():
+    m1 = {"w": np.array([1.0])}
+    m2 = {"w": np.array([3.0])}
+    f1 = {"w": np.array([10.0])}
+    f2 = {"w": np.array([0.1])}
+    out = fisher_merging([m1, m2], [f1, f2], normalize=False)
+    assert abs(out["w"][0] - 1.0) < 0.1     # dominated by high-fisher model
+
+
+def test_regmean_exact_for_linear_models():
+    # two linear models fitted to different data; regmean with true grams
+    # reproduces the least-squares join
+    rng = np.random.default_rng(0)
+    X1 = rng.normal(size=(50, 4))
+    X2 = rng.normal(size=(50, 4))
+    W1 = rng.normal(size=(4, 2))
+    W2 = rng.normal(size=(4, 2))
+    g1 = {"lin/kernel": X1.T @ X1}
+    g2 = {"lin/kernel": X2.T @ X2}
+    out = regmean_merging([{"lin": {"kernel": W1}}, {"lin": {"kernel": W2}}],
+                          [g1, g2])
+    expect = np.linalg.solve(X1.T @ X1 + X2.T @ X2,
+                             X1.T @ X1 @ W1 + X2.T @ X2 @ W2)
+    np.testing.assert_allclose(out["lin"]["kernel"], expect, rtol=1e-8)
+
+
+# -- parity with the reference implementation (torch) -----------------------
+REF = "/root/reference/clear code"
+
+
+@pytest.fixture(scope="module")
+def ref_merging():
+    import os
+    import sys
+    if not os.path.exists(REF):
+        pytest.skip("reference absent")
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REF)
+    try:
+        from model_merging_methods.merging_methods import MergingMethod
+        import torch.nn as nn
+
+        def make_model(seed):
+            torch.manual_seed(seed)
+            return nn.Sequential(nn.Linear(4, 3), nn.Linear(3, 2))
+
+        return MergingMethod, make_model
+    finally:
+        sys.path.remove(REF)
+
+
+def _sd_to_tree(model):
+    return {k.replace(".", "/"): v.detach().numpy()
+            for k, v in model.named_parameters()}
+
+
+def _tree_nested(flat):
+    out = {}
+    for k, v in flat.items():
+        node = out
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+@pytest.mark.parametrize("method,kwargs", [
+    ("average_merging", {}),
+    ("task_arithmetic", {"scaling_coefficient": 0.7}),
+    ("ties_merging", {"scaling_coefficient": 1.0,
+                      "param_value_mask_rate": 0.5}),
+])
+def test_parity_with_reference(ref_merging, method, kwargs):
+    import torch
+    MergingMethod, make_model = ref_merging
+    pre = make_model(0)
+    models = [make_model(1), make_model(2)]
+
+    merger = MergingMethod(method)
+    ref_out = merger.merging_models(
+        merged_model=pre, models_to_merge=models,
+        exclude_param_names_regex=[], **kwargs)
+
+    pre_tree = _tree_nested(_sd_to_tree(pre))
+    model_trees = [_tree_nested(_sd_to_tree(m)) for m in models]
+    if method == "average_merging":
+        ours = average_merging(model_trees)
+    elif method == "task_arithmetic":
+        ours = task_arithmetic(pre_tree, model_trees, kwargs["scaling_coefficient"])
+    else:
+        ours = ties_merging(pre_tree, model_trees,
+                            kwargs["param_value_mask_rate"],
+                            kwargs["scaling_coefficient"])
+
+    for name, val in ref_out.items():
+        node = ours
+        for p in name.replace(".", "/").split("/"):
+            node = node[p]
+        np.testing.assert_allclose(val.detach().numpy(), node, rtol=1e-5,
+                                   atol=1e-6)

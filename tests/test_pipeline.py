@@ -1,0 +1,107 @@
+"""Dataset pipeline end-to-end (directory of MIDI files -> npy artifacts)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pianobart_tpu import vocab as V
+from pianobart_tpu.tokenizer.pipeline import (composer_from_path,
+                                              emotion_from_path,
+                                              run_dataset_pipeline)
+from pianobart_tpu.tokenizer.validate import check_finetune, check_pretrain
+from tests.test_midi_io import make_song
+
+
+@pytest.fixture
+def midi_dir(tmp_path, rng):
+    root = tmp_path / "POPTEST"
+    for comp in ("Bach", "Chopin"):
+        d = root / comp
+        d.mkdir(parents=True)
+        for i in range(6):
+            song = make_song(rng, n_notes=40 + 10 * i)
+            song.instruments[0].name = "MELODY"
+            song.dump(str(d / f"Q{(i % 4) + 1}_piece{i}.mid"))
+    return str(root)
+
+
+def test_pretrain_pipeline(midi_dir, tmp_path):
+    out = run_dataset_pipeline(midi_dir, task="pretrain", pad=True,
+                               out_root=str(tmp_path / "out"), log=lambda *_: None)
+    arr = np.load(out["train"])
+    assert arr.ndim == 3 and arr.shape[1:] == (1024, 8)
+    assert check_pretrain(arr).ok
+    assert "valid" in out and "test" in out
+
+
+def test_pretrain_pipeline_unpadded_split(midi_dir, tmp_path):
+    out = run_dataset_pipeline(midi_dir, task="pretrain", pad=False,
+                               out_root=str(tmp_path / "o2"), log=lambda *_: None)
+    arr = np.load(out["train"])
+    assert arr.shape[1:] == (1024, 8)
+    assert out["train"].endswith("_split.npy")
+
+
+def test_composer_pipeline(midi_dir, tmp_path):
+    out = run_dataset_pipeline(midi_dir, task="composer",
+                               out_root=str(tmp_path / "o3"), log=lambda *_: None)
+    with open(out["composer_map"]) as f:
+        cmap = json.load(f)
+    assert set(cmap) == {"Bach", "Chopin"}
+    X = np.load(out["train"])
+    y = np.load(out["train_ans"])
+    assert len(X) == len(y)
+    assert set(np.unique(y)) <= {0, 1}
+    assert check_finetune(X, y, "composer").ok
+
+
+def test_emotion_pipeline(midi_dir, tmp_path):
+    out = run_dataset_pipeline(midi_dir, task="emotion",
+                               out_root=str(tmp_path / "o4"), log=lambda *_: None)
+    y = np.load(out["train_ans"])
+    assert set(np.unique(y)) <= {0, 1, 2, 3}
+
+
+def test_melody_pipeline(midi_dir, tmp_path):
+    out = run_dataset_pipeline(midi_dir, task="melody",
+                               out_root=str(tmp_path / "o5"), log=lambda *_: None)
+    X = np.load(out["train"])
+    y = np.load(out["train_ans"])
+    assert X.shape[:2] == y.shape[:2]
+    assert y.shape[2] == 1
+    assert check_finetune(X, y, "melody").ok
+
+
+def test_generate_pipeline(midi_dir, tmp_path, rng):
+    # longer songs so the generation split finds a usable bar boundary
+    root = tmp_path / "GEN"
+    root.mkdir()
+    for i in range(5):
+        make_song(rng, n_notes=500).dump(str(root / f"s{i}.mid"))
+    out = run_dataset_pipeline(str(root), task="generate",
+                               out_root=str(tmp_path / "o6"), log=lambda *_: None)
+    X = np.load(out["train"])
+    y = np.load(out["train_genans"])
+    assert X.shape == y.shape and X.shape[1:] == (1024, 8)
+    assert check_finetune(X, y, "generate").ok
+
+
+def test_label_helpers():
+    assert composer_from_path("Bach/fugue.mid") == "Bach"
+    assert composer_from_path("Pianist8/midi/Hancock/a_b.mid") == "Hancock"
+    assert emotion_from_path("EMOPIA/Q3_xxx.mid") == 2
+    assert emotion_from_path("whatever/song.mid") is None
+
+
+def test_dedup_across_splits(midi_dir, tmp_path, rng):
+    # identical file in two places -> one survives
+    root = tmp_path / "DUP"
+    root.mkdir()
+    song = make_song(rng)
+    song.dump(str(root / "a.mid"))
+    song.dump(str(root / "b.mid"))
+    logs = []
+    run_dataset_pipeline(str(root), task="pretrain",
+                         out_root=str(tmp_path / "o7"), log=logs.append)
+    assert any("DUPLICATE" in l for l in logs)
