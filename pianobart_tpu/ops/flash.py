@@ -1,12 +1,332 @@
-"""Pallas flash-attention kernel (TPU).
+"""Flash attention for TPU — pianobart_tpu's own pallas kernels.
 
-Placeholder dispatch target for :func:`pianobart_tpu.ops.attention.
-dot_product_attention`; the fused kernel lands behind this interface so the
-model code never changes.  Raising ``NotImplementedError`` falls back to the
-XLA path.
+Blockwise online-softmax attention (FlashAttention-2 schedule) so the
+(S, S) score matrix never leaves VMEM: without this, the full PianoBART
+train step OOMs a 16 GB v5e chip (24 × 512 MB f32 score buffers in the XLA
+backward — measured, see ops/attention.py).
+
+Layout: ``q, k, v : (B, S, H, D)`` (D = head dim, lane-aligned 128).
+Internally tiled as ``(B*H, S, D)`` with grid ``(BH, nQ, nKV)``, kv
+innermost.  Supports key padding (``kv_mask``) and causal masking; the
+causal path skips fully-masked kv blocks via predication.
+
+Backward follows the FlashAttention-2 recipe with two pallas kernels:
+
+* ``dq``  — per q block, sweep kv blocks:  dS = P ∘ (dO Vᵀ − Δ),
+  dQ += dS·K with P recomputed from the saved row logsumexp L;
+* ``dkv`` — per kv block, sweep q blocks:  dV += Pᵀ dO, dK += dSᵀ Q.
+
+All accumulation in f32 scratch; inputs/outputs keep the model dtype.
+Runs in interpret mode off-TPU so the same kernels are unit-tested on CPU.
 """
 from __future__ import annotations
 
+import functools
+from typing import Optional
 
-def flash_attention(q, k, v, bias):
-    raise NotImplementedError
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_KV = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
+                o_ref, lse_ref,                  # outputs
+                acc_ref, m_ref, l_ref,           # scratch
+                *, causal: bool, block_q: int, block_kv: int):
+    iq = pl.program_id(1)
+    ikv = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # causal: q block iq only attends kv blocks with start <= q end
+    run = True
+    if causal:
+        run = ikv * block_kv <= (iq + 1) * block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)                    # (Bq, D)
+        k = k_ref[0].astype(jnp.float32)                    # (Bkv, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = mask_ref[0, 0] != 0                          # (Bkv,)
+        s = jnp.where(mask[None, :], s, NEG_INF)
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            cols = ikv * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+
+        m_prev = m_ref[...]                                 # (Bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                              # (Bq, Bkv)
+        corr = jnp.exp(m_prev - m_new)                      # (Bq, 1)
+        l_ref[...] = l_ref[...] * corr + p.sum(axis=1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = m_new
+
+    @pl.when(ikv == n_kv - 1)
+    def _finish():
+        l = l_ref[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_ref[...] + jnp.log(l_safe))[:, 0]
+
+
+def _fwd(q, k, v, kv_mask, causal, block_q, block_kv):
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Skv, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Skv, D)
+    if kv_mask is None:
+        maskf = jnp.ones((B, Skv), jnp.int32)
+    else:
+        maskf = kv_mask.astype(jnp.int32)
+    maskf = jnp.repeat(maskf, H, axis=0)[:, None, :]         # (B*H, 1, Skv)
+
+    nq = Sq // block_q
+    nkv = Skv // block_kv
+    grid = (B * H, nq, nkv)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, causal=causal,
+                          block_q=block_q, block_kv=block_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_kv), lambda bh, iq, ikv: (bh, 0, ikv)),
+            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(maskf, qf, kf, vf)
+    return out, lse, (qf, kf, vf, maskf)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc,
+               *, causal: bool, block_q: int, block_kv: int):
+    iq = pl.program_id(1)
+    ikv = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    run = True
+    if causal:
+        run = ikv * block_kv <= (iq + 1) * block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = mask_ref[0, 0] != 0
+        s = jnp.where(mask[None, :], s, NEG_INF)
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            cols = ikv * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])              # (Bq, Bkv)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0][:, None])
+        dq_acc[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ikv == n_kv - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc,
+                *, causal: bool, block_q: int, block_kv: int):
+    ikv = pl.program_id(1)
+    iq = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    run = True
+    if causal:
+        run = ikv * block_kv <= (iq + 1) * block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = mask_ref[0, 0] != 0
+        s = jnp.where(mask[None, :], s, NEG_INF)
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            cols = ikv * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])              # (Bq, Bkv)
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0][:, None])             # (Bq, Bkv)
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(iq == n_q - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_impl(causal, block_q, block_kv, res, g):
+    qf, kf, vf, maskf, out, lse, shapes = res
+    B, Sq, H, D = shapes
+    Skv = kf.shape[1]
+    dof = g.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    # Δ_i = rowsum(dO ∘ O) (FlashAttention-2, eq. for dS)
+    delta = (dof.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
+    delta = delta[:, None, :]                                # (B*H, 1, Sq)
+
+    nq = Sq // block_q
+    nkv = Skv // block_kv
+    common_in = [
+        pl.BlockSpec((1, block_kv), None),   # placeholder, replaced below
+    ]
+    del common_in
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, causal=causal, block_q=block_q,
+                          block_kv=block_kv),
+        grid=(B * H, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_kv), lambda bh, iq, ikv: (bh, 0, ikv)),
+            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
+            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=_interpret(),
+    )(maskf, qf, kf, vf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, causal=causal, block_q=block_q,
+                          block_kv=block_kv),
+        grid=(B * H, nkv, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_kv), lambda bh, ikv, iq: (bh, 0, ikv)),
+            pl.BlockSpec((1, block_q, D), lambda bh, ikv, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
+            pl.BlockSpec((1, block_q, D), lambda bh, ikv, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, ikv, iq: (bh, 0, iq)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, ikv, iq: (bh, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Skv, D), kf.dtype),
+            jax.ShapeDtypeStruct((B * H, Skv, D), vf.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_kv, D), jnp.float32),
+                        pltpu.VMEM((block_kv, D), jnp.float32)],
+        interpret=_interpret(),
+    )(maskf, qf, kf, vf, dof, lse, delta)
+
+    def unflat(x, S):
+        return x.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+    return unflat(dq, Sq), unflat(dk, Skv), unflat(dv, Skv), None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q, k, v, kv_mask=None,
+                    causal: bool = False,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_kv: int = DEFAULT_BLOCK_KV):
+    """Flash attention over (B, S, H, D); q pre-scaled by the caller."""
+    out, _, _ = _fwd(q, k, v, kv_mask, causal, block_q, block_kv)
+    B, Sq, H, D = q.shape
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+
+
+def _vjp_fwd(q, k, v, kv_mask, causal, block_q, block_kv):
+    out, lse, (qf, kf, vf, maskf) = _fwd(q, k, v, kv_mask, causal,
+                                         block_q, block_kv)
+    B, Sq, H, D = q.shape
+    res = (qf, kf, vf, maskf, out, lse, (B, Sq, H, D))
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3), res
+
+
+def _vjp_bwd(causal, block_q, block_kv, res, g):
+    return _bwd_impl(causal, block_q, block_kv, res, g)
+
+
+flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

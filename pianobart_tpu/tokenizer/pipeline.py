@@ -27,9 +27,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .. import vocab as V
-from ..midi.parser import read_midi_bytes
 from .codec import EMOTION_MAP, MELODY_MAP, VELOCITY_MAP
-from .segment import data_split, process_file
+from .segment import data_split, process_bytes
 
 __all__ = ["run_dataset_pipeline", "list_midi_files", "composer_from_path",
            "emotion_from_path"]
@@ -111,16 +110,11 @@ def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
         labels: List = []
         for rel, raw in split_files:
             all_cnt += 1
-            try:
-                midi = read_midi_bytes(raw)
-            except Exception as exc:
-                log(f"ERROR(PARSE): {rel} {exc}")
-                continue
             composer = composer_from_path(rel) if task == "composer" else None
             emotion = emotion_from_path(rel) if task == "emotion" else None
-            res = process_file(midi, task=task, pad=pad, composer=composer,
-                               emotion=emotion, dedup_seen=dedup,
-                               file_name=rel)
+            res = process_bytes(raw, task=task, pad=pad, composer=composer,
+                                emotion=emotion, dedup_seen=dedup,
+                                file_name=rel)
             if not res.ok:
                 log(f"ERROR({res.status.upper()}): {res.detail}")
                 continue

@@ -152,6 +152,56 @@ def process_file(
         return ProcessResult("blank", file_name)
     try:
         encoding = midi_to_octuple(midi, task)
+        return _package(encoding, task, pad, composer, emotion, dedup_seen,
+                        file_name)
+    except AssertionError as exc:
+        return ProcessResult("error", f"{file_name} {exc}")
+    except Exception as exc:  # per-file tolerance, convert.py:511-513
+        return ProcessResult("error", f"{file_name} {exc}")
+
+
+def process_bytes(
+    data: bytes,
+    task: str = "pretrain",
+    pad: bool = True,
+    composer: Optional[str] = None,
+    emotion: Optional[int] = None,
+    dedup_seen: Optional[dict] = None,
+    file_name: str = "<memory>",
+) -> ProcessResult:
+    """Tokenize raw MIDI bytes, preferring the native C++ parse+quantize
+    path (:mod:`pianobart_tpu.midi.native`) with Python fallback."""
+    try:
+        from ..midi.native import midi_bytes_to_octuple
+        encoding = midi_bytes_to_octuple(data, task)
+        if encoding is not None:
+            if not encoding:
+                return ProcessResult("blank", file_name)
+            return _package(encoding, task, pad, composer, emotion,
+                            dedup_seen, file_name)
+    except AssertionError as exc:
+        return ProcessResult("error", f"{file_name} {exc}")
+    except Exception as exc:
+        return ProcessResult("error", f"{file_name} {exc}")
+    from ..midi.parser import read_midi_bytes
+    try:
+        midi = read_midi_bytes(data)
+    except Exception as exc:
+        return ProcessResult("error", f"{file_name} {exc}")
+    return process_file(midi, task, pad, composer, emotion, dedup_seen,
+                        file_name)
+
+
+def _package(
+    encoding,
+    task: str,
+    pad: bool,
+    composer: Optional[str],
+    emotion: Optional[int],
+    dedup_seen: Optional[dict],
+    file_name: str,
+) -> ProcessResult:
+    try:
         if not encoding:
             return ProcessResult("blank", file_name)
         if dedup_seen is not None:

@@ -88,6 +88,30 @@ def pretrain_eval_step(state: TrainState, batch: jax.Array, rng: jax.Array,
             "weighted_acc": weighted_average_accuracy(accs, cfg)}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mask_percent", "n_steps"),
+                   donate_argnums=(0,))
+def pretrain_multi_step(state: TrainState, batch: jax.Array, rng: jax.Array,
+                        cfg: PianoBartConfig, mask_percent: float = 0.15,
+                        n_steps: int = 10):
+    """K fused train steps in ONE dispatch (benchmark / low-host-overhead
+    training path: a single device program, one host round trip)."""
+
+    def body(carry, i):
+        state, rng = carry
+        rng, sub = jax.random.split(rng)
+        rc, rd = jax.random.split(jax.random.fold_in(sub, state.step))
+        corrupted, loss_mask = corrupt_batch(rc, batch, mask_percent)
+        grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
+        (total, _), grads = grad_fn(state.params, state.apply_fn, batch,
+                                    corrupted, loss_mask, cfg, rd, False)
+        state = state.apply_gradients(grads=grads)
+        return (state, rng), total
+
+    (state, _), losses = jax.lax.scan(body, (state, rng),
+                                      jnp.arange(n_steps))
+    return state, losses
+
+
 def batch_iterator(data: np.ndarray, batch_size: int, rng: np.random.Generator,
                    shuffle: bool = True, drop_last: bool = True,
                    ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:

@@ -56,7 +56,7 @@ def test_velocity_label_map():
     assert velocity_label(0) == 0 and velocity_label(15) == 0
     assert velocity_label(16) == 0 and velocity_label(31) == 0
     assert velocity_label(32) == 1 and velocity_label(47) == 1
-    assert velocity_label(111) == 5 - 1 + 1  # (111-32)//16+1 == 5 -> wait
+    assert velocity_label(111) == 5  # (111-32)//16 + 1
     assert velocity_label(112) == 5 and velocity_label(127) == 5
 
 
@@ -130,3 +130,35 @@ def test_dedup(rng):
     assert process_file(song, dedup_seen=seen, file_name="a").ok
     dup = process_file(song, dedup_seen=seen, file_name="b")
     assert dup.status == "duplicate"
+
+
+def test_native_codec_bit_identical(rng):
+    """C++ parse+quantize == Python path on random songs (all tasks)."""
+    from pianobart_tpu.midi import native
+    from pianobart_tpu.midi.writer import midi_bytes
+    from pianobart_tpu.midi.parser import read_midi_bytes
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    for trial in range(8):
+        song = make_song(rng, n_notes=int(rng.integers(20, 200)),
+                         n_tracks=int(rng.integers(1, 4)),
+                         drum=bool(rng.integers(0, 2)))
+        song.instruments[0].name = ["MELODY", "BRIDGE", "PIANO", "x"][trial % 4]
+        data = midi_bytes(song)
+        for task in ("pretrain", "melody", "velocity"):
+            py = midi_to_octuple(read_midi_bytes(data), task)
+            nat = native.midi_bytes_to_octuple(data, task)
+            assert nat == [tuple(r) for r in py]
+
+
+def test_process_bytes_matches_process_file(rng):
+    from pianobart_tpu.midi.writer import midi_bytes
+    from pianobart_tpu.midi.parser import read_midi_bytes
+    from pianobart_tpu.tokenizer import process_bytes
+    song = make_song(rng, n_notes=120)
+    data = midi_bytes(song)
+    a = process_file(read_midi_bytes(data), task="pretrain")
+    b = process_bytes(data, task="pretrain")
+    assert a.status == b.status
+    assert [list(map(tuple, s)) for s in a.sequences] == \
+           [list(map(tuple, s)) for s in b.sequences]
