@@ -37,7 +37,7 @@ def main() -> None:
 
     from pianobart_tpu import vocab as V
     from pianobart_tpu.models import PianoBartConfig, PianoBartLM
-    from pianobart_tpu.train.pretrain import pretrain_step
+    from pianobart_tpu.train.pretrain import pretrain_multi_step
     from pianobart_tpu.train.state import TrainState, make_optimizer
 
     dev = jax.devices()[0]
@@ -46,6 +46,7 @@ def main() -> None:
     model = PianoBartLM(cfg)
 
     B, S = 32, cfg.max_len
+    K = 10  # steps per device dispatch (amortizes tunnel round trips)
     rng = jax.random.PRNGKey(0)
     ids0 = jnp.zeros((B, S, 8), jnp.int32)
     m0 = jnp.ones((B, S))
@@ -60,16 +61,17 @@ def main() -> None:
         batch[..., f] = npr.integers(0, V.TOKEN_BOUNDARY[f], (B, S))
     batch = jnp.asarray(batch)
 
-    # Warmup / compile.
-    state, metrics = pretrain_step(state, batch, rng, cfg, 0.15)
-    jax.block_until_ready(metrics["loss"])
+    # Warmup / compile (one multi-step dispatch).
+    state, losses = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
+    _ = float(losses[-1])
 
-    steps = 20
+    reps = 2
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = pretrain_step(state, batch, rng, cfg, 0.15)
-    jax.block_until_ready(metrics["loss"])
+    for _ in range(reps):
+        state, losses = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
+        _ = float(losses[-1])  # host sync each dispatch
     dt = time.perf_counter() - t0
+    steps = reps * K
     toks_per_sec = steps * B * S / dt
     step_ms = dt / steps * 1e3
 

@@ -10,8 +10,10 @@ Backends:
   train step is infeasible on one v5e chip: XLA's backward keeps
   24 × (B=16, 8, 1024, 1024) f32 score buffers = 16.4 GB > 15.75 GB HBM
   (measured).  Padding is expressed as segment ids, causality as a flag.
-  Uses our kernel (:mod:`pianobart_tpu.ops.flash`); JAX's reference pallas
-  kernel is available as a fallback via ``PBX_FLASH_IMPL=jax``.
+  Uses our kernel (:mod:`pianobart_tpu.ops.flash`), which measures ~2x
+  faster end-to-end than JAX's reference pallas kernel on this workload
+  (255 ms vs 529 ms full train step, B=16, v5e); set ``PBX_FLASH_IMPL=jax``
+  to switch.
 * **xla** — einsum + softmax fallback (CPU tests, decode steps with Sq=1,
   dropout, or odd shapes).
 
@@ -70,7 +72,7 @@ def _flash_eligible(q, k, bias) -> bool:
 
 
 def _flash(q, k, v, kv_mask, causal):
-    if os.environ.get("PBX_FLASH_IMPL", "jax") == "jax":
+    if os.environ.get("PBX_FLASH_IMPL", "pbx") == "jax":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)
         qt = q.transpose(0, 2, 1, 3)   # (B, H, S, D)

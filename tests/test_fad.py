@@ -1,0 +1,70 @@
+"""FAD shape-similarity metric tests."""
+import numpy as np
+import pytest
+
+from pianobart_tpu.utils.fad import (fad_bars, fad_windows, generation_fad,
+                                     shape_similarity_batch)
+
+
+def test_identical_curves_score_one():
+    y = np.sin(np.linspace(0, 4, 9))[None, :] * 10
+    s = shape_similarity_batch(y, y)
+    assert s[0] >= 0.99
+
+
+def test_dissimilar_curves_score_lower():
+    rng = np.random.default_rng(0)
+    y1 = np.cumsum(rng.normal(size=(4, 9)), axis=1) * 5
+    y2 = -y1 + rng.normal(size=(4, 9)) * 20
+    s_same = shape_similarity_batch(y1, y1)
+    s_diff = shape_similarity_batch(y1, y2)
+    assert (s_diff <= s_same + 1e-9).all()
+    assert s_diff.mean() < s_same.mean()
+
+
+def test_translation_invariance():
+    # procrustes normalization centers the curve: y and y + 100 match
+    # exactly (y-only *scaling* changes the 2-D aspect ratio, so it is NOT
+    # invariant — same as the reference shapesimilarity package)
+    y = np.sin(np.linspace(0, 6, 9))[None, :] * 7
+    assert shape_similarity_batch(y, y + 100)[0] >= 0.99
+    assert shape_similarity_batch(y, 3 * y)[0] < 0.95
+
+
+def test_scores_in_unit_interval():
+    rng = np.random.default_rng(1)
+    y1 = rng.normal(size=(16, 9)) * 50
+    y2 = rng.normal(size=(16, 9)) * 50
+    s = shape_similarity_batch(y1, y2)
+    assert (s >= 0).all() and (s <= 1).all()
+
+
+def test_fad_windows_matches_reference_windowing():
+    # reference drops the last element of each 10-window
+    # (finetune_generation.py:211-212)
+    rng = np.random.default_rng(2)
+    y1 = rng.integers(0, 128, 95).astype(float)
+    y2 = y1.copy()
+    v = fad_windows(y1, y2)
+    assert v == pytest.approx(1.0, abs=0.02)   # identical -> ~1 per window
+    assert fad_windows(y1[:5], y2[:5]) == 0.0  # shorter than one window
+
+
+def test_fad_bars_weighting():
+    bars = np.array([0, 0, 0, 1, 1, 2])  # reference iterates bars < bars[-2]
+    y1 = np.array([60, 62, 64, 50, 52, 70], dtype=float)
+    v_same = fad_bars(y1, y1.copy(), bars)
+    assert v_same == pytest.approx(1.0, abs=0.02)
+
+
+def test_generation_fad_batch():
+    rng = np.random.default_rng(3)
+    B, S = 2, 64
+    y = np.zeros((B, S, 8), dtype=int)
+    y[..., 0] = np.arange(S) // 8
+    y[..., 3] = rng.integers(0, 128, (B, S))
+    out = y.copy()
+    attn = np.ones((B, S))
+    fad, fad_bar = generation_fad(y, out, attn)
+    assert fad == pytest.approx(1.0, abs=0.02)
+    assert fad_bar == pytest.approx(1.0, abs=0.02)

@@ -1,0 +1,121 @@
+"""Epoch runners end-to-end on tiny data (CPU)."""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pianobart_tpu import vocab as V
+from pianobart_tpu.models import (PianoBartLM, SequenceClassification,
+                                  TokenClassification, tiny_config)
+from pianobart_tpu.train.finetune import finetune_seq_step, finetune_token_step
+from pianobart_tpu.train.generation import ablation_step, generation_step
+from pianobart_tpu.train.runner import SupervisedRunner
+from pianobart_tpu.train.state import create_train_state
+
+
+def make_ids(rng, n, S):
+    x = np.zeros((n, S, 8), dtype=np.int64)
+    for f in range(8):
+        x[..., f] = rng.integers(0, V.TOKEN_BOUNDARY[f], (n, S))
+    return x
+
+
+def test_seq_classification_runner(rng, tmp_path):
+    cfg = tiny_config()
+    S = cfg.max_len
+    model = SequenceClassification(cfg, class_num=4)
+    X = make_ids(rng, 12, S)
+    y = rng.integers(0, 4, 12)
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, cfg, key,
+        (jnp.zeros((2, S, 8), jnp.int32), jnp.ones((2, S))),
+        learning_rate=1e-3)
+
+    def step_fn(state, bx, by, rng_, train=True):
+        return finetune_seq_step(state, bx, by, rng_, cfg=cfg, train=train)
+
+    data = (X[:8], X[8:10], X[10:], y[:8], y[8:10], y[10:])
+    runner = SupervisedRunner(state, cfg, step_fn, data, str(tmp_path / "r"),
+                              batch_size=4, patience=5)
+    runner.run(epochs=2)
+    assert os.path.exists(tmp_path / "r" / "log")
+    assert os.path.exists(tmp_path / "r" / "best")
+
+
+def test_token_classification_velocity_runner(rng, tmp_path):
+    cfg = tiny_config(decoder_label_vocab=8)
+    S = cfg.max_len
+    model = TokenClassification(cfg, class_num=8)
+    X = make_ids(rng, 8, S)
+    y = rng.integers(0, 7, (8, S))
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, cfg, key,
+        (jnp.zeros((2, S, 8), jnp.int32), jnp.zeros((2, S), jnp.int32),
+         jnp.ones((2, S)), jnp.ones((2, S))),
+        learning_rate=1e-3)
+
+    def step_fn(state, bx, by, rng_, train=True):
+        return finetune_token_step(state, bx, by, rng_, cfg=cfg,
+                                   velocity=True, train=train)
+
+    data = (X[:4], X[4:6], X[6:], y[:4], y[4:6], y[6:])
+    runner = SupervisedRunner(state, cfg, step_fn, data, str(tmp_path / "v"),
+                              batch_size=2, patience=5)
+    runner.run(epochs=1)
+
+
+def test_generation_runner_with_fad(rng, tmp_path):
+    cfg = tiny_config()
+    S = cfg.max_len
+    model = PianoBartLM(cfg)
+    X = make_ids(rng, 8, S)
+    Y = make_ids(rng, 8, S)
+    key = jax.random.PRNGKey(0)
+    ids = jnp.zeros((2, S, 8), jnp.int32)
+    m = jnp.ones((2, S))
+    state = create_train_state(model, cfg, key, (ids, ids, m, m),
+                               learning_rate=1e-3)
+
+    def step_fn(state, bx, by, rng_, train=True):
+        return generation_step(state, bx, by, rng_, cfg=cfg, train=train)
+
+    from pianobart_tpu.utils.fad import generation_fad
+
+    def eval_hook(bx, by, metrics):
+        fad, fad_bar = generation_fad(by, np.asarray(metrics["outputs"]),
+                                      np.asarray(metrics["attn_dec"]))
+        return {"fad": fad, "fad_bar": fad_bar}
+
+    data = (X[:4], X[4:6], X[6:], Y[:4], Y[4:6], Y[6:])
+    runner = SupervisedRunner(state, cfg, step_fn, data, str(tmp_path / "g"),
+                              batch_size=2, patience=5,
+                              select="weighted_field_acc", eval_hook=eval_hook)
+    runner.run(epochs=1)
+    import json
+    lines = [json.loads(l) for l in
+             open(tmp_path / "g" / "metrics.jsonl")]
+    epoch = [l for l in lines if l["event"] == "epoch"][0]
+    assert "fad" in epoch["valid"]
+
+
+def test_ablation_step_masks_second_half(rng):
+    cfg = tiny_config()
+    S = cfg.max_len
+    model = PianoBartLM(cfg)
+    key = jax.random.PRNGKey(0)
+    ids = jnp.zeros((2, S, 8), jnp.int32)
+    m = jnp.ones((2, S))
+    state = create_train_state(model, cfg, key, (ids, ids, m, m),
+                               learning_rate=1e-3)
+    batch = jnp.asarray(make_ids(rng, 2, S))
+    state, metrics = ablation_step(state, batch, key, cfg=cfg, train=True)
+    assert np.isfinite(float(metrics["loss"]))
+    lm = np.asarray(metrics["loss_mask"])
+    # loss covers positions len/2+1 .. len (Ablation.py:134-139); here all
+    # rows are content so len == S and the mask is the second half
+    assert lm[:, S // 2 + 1:].all() and not lm[:, :S // 2].any()
