@@ -332,8 +332,7 @@ def cmd_check(args) -> int:
 
 def cmd_serve(args) -> int:
     from .serve.app import create_app
-    app = create_app(ckpt=args.ckpt)
-    app.run(host=args.host, port=args.port)
+    create_app(ckpt=args.ckpt).run(host=args.host, port=args.port)
     return 0
 
 
@@ -425,6 +424,14 @@ def build_parser() -> argparse.ArgumentParser:
     sm.add_argument("--param_value_mask_rate", type=float, default=0.8)
     sm.add_argument("--output", type=str, default="merged_params.msgpack")
     sm.set_defaults(fn=cmd_merge)
+
+    scat = sub.add_parser("concat")
+    scat.add_argument("--dataroot", type=str, required=True)
+    scat.add_argument("--datasets", type=str, nargs="+", required=True)
+    scat.add_argument("--output", type=str, required=True)
+    scat.set_defaults(fn=lambda a: (__import__(
+        "pianobart_tpu.data", fromlist=["concatenate_pretrain"])
+        .concatenate_pretrain(a.dataroot, a.datasets, a.output), 0)[1])
 
     sc = sub.add_parser("check")
     sc.add_argument("--file", required=True)

@@ -83,3 +83,20 @@ class TokenClassifierHead(nn.Module):
                              param_dtype=self.cfg.param_dtype, name="dense1")(x))
         return nn.Dense(self.class_num, dtype=self.cfg.dtype,
                         param_dtype=self.cfg.param_dtype, name="dense2")(x)
+
+
+class Excitation(nn.Module):
+    """Squeeze-and-excitation gate (reference model.py:220-232).
+
+    Defined (and left unused) by the reference's classifier experiments;
+    provided for checkpoint/API completeness.
+    """
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        y = nn.relu(nn.Dense(c // self.reduction, name="fc1")(x))
+        y = nn.sigmoid(nn.Dense(c, name="fc2")(y))
+        return x * y

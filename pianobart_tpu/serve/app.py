@@ -1,7 +1,8 @@
-"""HTTP serving backend.
+"""HTTP serving backend (pure-stdlib WSGI — no framework dependency).
 
-Equivalent of the reference Flask app (``gui/backend/app.py``):
+Same surface as the reference Flask app (``gui/backend/app.py``):
 
+* ``GET  /``                          — minimal web UI (static/index.html)
 * ``POST /api/upload``                — store a MIDI, render audio preview
 * ``GET  /api/generate/<model>/<f>``  — continuation for an uploaded MIDI
 * ``GET  /api/<folder>/<file>``       — artifact download
@@ -11,18 +12,27 @@ Audio rendering shells out to FluidSynth when available (the reference uses
 ``midi2audio``, app.py:45); without it the endpoints still serve MIDI.
 The generation model is loaded ONCE and reused across requests (the
 reference reloads the full checkpoint per request, app.py:71-93).
+
+``create_app`` returns a WSGI callable: host it with any WSGI server, or
+``App.run()`` (wsgiref) for development.
 """
 from __future__ import annotations
 
+import cgi
+import io
+import json
+import mimetypes
 import os
 import shutil
 import subprocess
+import threading
 import time
 import uuid
-from typing import Optional
+from typing import Callable, Optional, Tuple
 
 UPLOAD_DIR = "uploads"
 OUTPUT_DIR = "outputs"
+_STATIC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
 
 
 def _render_audio(midi_path: str, wav_path: str) -> bool:
@@ -38,104 +48,165 @@ def _render_audio(midi_path: str, wav_path: str) -> bool:
 
 
 class GenerationService:
-    """Holds the jitted model + params; thread-safe enough for Flask dev use."""
+    """Holds the jitted model + params, loaded lazily, reused across calls."""
 
-    def __init__(self, ckpt: Optional[str] = None, max_seq_len: int = 1024):
+    def __init__(self, ckpt: Optional[str] = None,
+                 generate_fn: Optional[Callable] = None):
         self.ckpt = ckpt
-        self.max_seq_len = max_seq_len
         self._ready = False
+        self._lock = threading.Lock()
+        self._generate_fn = generate_fn  # injectable for tests
 
     def _ensure(self):
-        if self._ready:
+        if self._ready or self._generate_fn is not None:
             return
-        import jax
-        import jax.numpy as jnp
-        from flax import linen as nn
-        from ..models import PianoBartConfig, PianoBartLM
-        self.cfg = PianoBartConfig(dtype=jnp.bfloat16)
-        model = PianoBartLM(self.cfg)
-        rng = jax.random.PRNGKey(0)
-        S = self.cfg.max_len
-        ids = jnp.zeros((1, S, 8), jnp.int32)
-        m = jnp.ones((1, S))
-        params = nn.meta.unbox(model.init(rng, ids, ids, m, m))
-        if self.ckpt:
-            if os.path.isdir(self.ckpt):
-                from ..train.state import CheckpointManager
-                restored = CheckpointManager(self.ckpt).restore_params(
-                    params["params"])
-                params = {"params": restored}
-            else:
-                from ..compat.torch_import import import_checkpoint
-                tree = import_checkpoint(self.ckpt, self.cfg)
-                merged = dict(params["params"])
-                merged.update({k: v for k, v in tree.items() if k in merged})
-                params = {"params": merged}
-        self.params = params
-        self._ready = True
+        with self._lock:
+            if self._ready:
+                return
+            import jax
+            import jax.numpy as jnp
+            from flax import linen as nn
+            from ..models import PianoBartConfig, PianoBartLM
+            self.cfg = PianoBartConfig(dtype=jnp.bfloat16)
+            model = PianoBartLM(self.cfg)
+            rng = jax.random.PRNGKey(0)
+            S = self.cfg.max_len
+            ids = jnp.zeros((1, S, 8), jnp.int32)
+            m = jnp.ones((1, S))
+            params = nn.meta.unbox(model.init(rng, ids, ids, m, m))
+            if self.ckpt:
+                if os.path.isdir(self.ckpt):
+                    from ..train.state import CheckpointManager
+                    restored = CheckpointManager(self.ckpt).restore_params(
+                        params["params"])
+                    params = {"params": restored}
+                else:
+                    from ..compat.torch_import import import_checkpoint
+                    tree = import_checkpoint(self.ckpt, self.cfg)
+                    merged = dict(params["params"])
+                    merged.update({k: v for k, v in tree.items()
+                                   if k in merged})
+                    params = {"params": merged}
+            self.params = params
+            self._ready = True
+
+    @property
+    def ready(self) -> bool:
+        return self._ready
 
     def generate(self, midi_in: str, midi_out: str, seed: int = 0) -> bool:
+        if self._generate_fn is not None:
+            return self._generate_fn(midi_in, midi_out, seed)
         self._ensure()
         import jax
         import jax.numpy as jnp
+        import numpy as np
         from ..decode import generate as gen
         from .demo import midi_to_window, window_to_midi
-        import numpy as np
         intro = jnp.asarray(midi_to_window(midi_in, self.cfg.max_len))
         out = gen(self.params, intro, rng=jax.random.PRNGKey(seed),
                   cfg=self.cfg)
         return window_to_midi(np.asarray(out[0]), midi_out)
 
 
-def create_app(ckpt: Optional[str] = None):
-    from flask import Flask, jsonify, request, send_from_directory
+class App:
+    """Minimal WSGI application with the reference's route table."""
 
-    app = Flask(__name__)
-    os.makedirs(UPLOAD_DIR, exist_ok=True)
-    os.makedirs(OUTPUT_DIR, exist_ok=True)
-    service = GenerationService(ckpt=ckpt)
+    def __init__(self, service: GenerationService, ckpt: Optional[str]):
+        self.service = service
+        self.ckpt = ckpt
+        os.makedirs(UPLOAD_DIR, exist_ok=True)
+        os.makedirs(OUTPUT_DIR, exist_ok=True)
 
-    @app.get("/api/health")
-    def health():
-        return jsonify({"status": "ok", "ckpt": ckpt,
-                        "model_loaded": service._ready})
+    # -- WSGI ---------------------------------------------------------------
+    def __call__(self, environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        path = environ.get("PATH_INFO", "/")
+        try:
+            status, headers, body = self.route(method, path, environ)
+        except Exception as exc:  # pragma: no cover - defensive
+            status, headers, body = self._json(500, {"error": str(exc)})
+        start_response(status, headers)
+        return [body]
 
-    @app.post("/api/upload")
-    def upload():
-        f = request.files.get("file")
-        if f is None or not f.filename:
-            return jsonify({"error": "no file"}), 400
-        name = f"{uuid.uuid4().hex[:8]}_{os.path.basename(f.filename)}"
+    def _json(self, code: int, obj) -> Tuple[str, list, bytes]:
+        body = json.dumps(obj).encode()
+        codes = {200: "200 OK", 400: "400 Bad Request", 404: "404 Not Found",
+                 500: "500 Internal Server Error"}
+        return codes[code], [("Content-Type", "application/json"),
+                             ("Content-Length", str(len(body)))], body
+
+    def _file(self, root: str, name: str) -> Tuple[str, list, bytes]:
+        path = os.path.join(root, os.path.basename(name))
+        if not os.path.exists(path):
+            return self._json(404, {"error": "not found"})
+        with open(path, "rb") as f:
+            body = f.read()
+        ctype = mimetypes.guess_type(path)[0] or "application/octet-stream"
+        return "200 OK", [("Content-Type", ctype),
+                          ("Content-Length", str(len(body)))], body
+
+    # -- routes ---------------------------------------------------------------
+    def route(self, method: str, path: str, environ) -> Tuple[str, list, bytes]:
+        if method == "GET" and path in ("/", "/index.html"):
+            return self._file(_STATIC, "index.html")
+        if method == "GET" and path == "/api/health":
+            return self._json(200, {"status": "ok", "ckpt": self.ckpt,
+                                    "model_loaded": self.service.ready})
+        if method == "POST" and path == "/api/upload":
+            return self.upload(environ)
+        if method == "GET" and path.startswith("/api/generate/"):
+            parts = path[len("/api/generate/"):].split("/", 1)
+            if len(parts) != 2:
+                return self._json(404, {"error": "bad generate path"})
+            return self.generate(parts[0], parts[1])
+        if method == "GET" and path.startswith("/api/"):
+            parts = path[len("/api/"):].split("/", 1)
+            if len(parts) == 2:
+                root = {"uploads": UPLOAD_DIR, "outputs": OUTPUT_DIR}.get(parts[0])
+                if root is None:
+                    return self._json(404, {"error": "unknown folder"})
+                return self._file(root, parts[1])
+        return self._json(404, {"error": "no such route"})
+
+    def upload(self, environ) -> Tuple[str, list, bytes]:
+        form = cgi.FieldStorage(fp=environ["wsgi.input"], environ=environ,
+                                keep_blank_values=True)
+        if "file" not in form or not getattr(form["file"], "filename", ""):
+            return self._json(400, {"error": "no file"})
+        item = form["file"]
+        name = f"{uuid.uuid4().hex[:8]}_{os.path.basename(item.filename)}"
         path = os.path.join(UPLOAD_DIR, name)
-        f.save(path)
+        with open(path, "wb") as f:
+            f.write(item.file.read())
         wav = path.rsplit(".", 1)[0] + ".wav"
         audio = _render_audio(path, wav)
-        return jsonify({"file": name,
-                        "audio": os.path.basename(wav) if audio else None})
+        return self._json(200, {"file": name,
+                                "audio": os.path.basename(wav) if audio else None})
 
-    @app.get("/api/generate/<model>/<path:fname>")
-    def generate(model, fname):
+    def generate(self, model: str, fname: str) -> Tuple[str, list, bytes]:
         src = os.path.join(UPLOAD_DIR, os.path.basename(fname))
         if not os.path.exists(src):
-            return jsonify({"error": "not uploaded"}), 404
+            return self._json(404, {"error": "not uploaded"})
         out_name = f"gen_{os.path.basename(fname)}"
         out = os.path.join(OUTPUT_DIR, out_name)
         t0 = time.time()
-        ok = service.generate(src, out)
+        ok = self.service.generate(src, out)
         if not ok:
-            return jsonify({"error": "generation produced no notes"}), 500
+            return self._json(500, {"error": "generation produced no notes"})
         wav = out.rsplit(".", 1)[0] + ".wav"
         audio = _render_audio(out, wav)
-        return jsonify({"file": out_name,
-                        "audio": os.path.basename(wav) if audio else None,
-                        "latency_s": round(time.time() - t0, 3)})
+        return self._json(200, {"file": out_name,
+                                "audio": os.path.basename(wav) if audio else None,
+                                "latency_s": round(time.time() - t0, 3)})
 
-    @app.get("/api/<folder>/<path:fname>")
-    def download(folder, fname):
-        root = {"uploads": UPLOAD_DIR, "outputs": OUTPUT_DIR}.get(folder)
-        if root is None:
-            return jsonify({"error": "unknown folder"}), 404
-        return send_from_directory(os.path.abspath(root),
-                                   os.path.basename(fname))
+    def run(self, host: str = "0.0.0.0", port: int = 5000) -> None:
+        from wsgiref.simple_server import make_server
+        with make_server(host, port, self) as srv:
+            print(f"pianobart_tpu serving on http://{host}:{port}")
+            srv.serve_forever()
 
-    return app
+
+def create_app(ckpt: Optional[str] = None,
+               generate_fn: Optional[Callable] = None) -> App:
+    return App(GenerationService(ckpt=ckpt, generate_fn=generate_fn), ckpt)
