@@ -28,6 +28,7 @@ import time
 import numpy as np
 
 A100_BASELINE_TOKS = 18_000.0
+BATCH = 32
 
 
 def main() -> None:
@@ -45,7 +46,7 @@ def main() -> None:
     cfg = PianoBartConfig(dtype=jnp.bfloat16)
     model = PianoBartLM(cfg)
 
-    B, S = 32, cfg.max_len
+    B, S = BATCH, cfg.max_len
     K = 10  # steps per device dispatch (amortizes tunnel round trips)
     rng = jax.random.PRNGKey(0)
     ids0 = jnp.zeros((B, S, 8), jnp.int32)
@@ -62,13 +63,14 @@ def main() -> None:
     batch = jnp.asarray(batch)
 
     # Warmup / compile (one multi-step dispatch).
-    state, losses = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
+    state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
     _ = float(losses[-1])
 
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
-        state, losses = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
+        state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg,
+                                                 0.15, K)
         _ = float(losses[-1])  # host sync each dispatch
     dt = time.perf_counter() - t0
     steps = reps * K
@@ -81,12 +83,14 @@ def main() -> None:
         from pianobart_tpu.decode import generate
         intro = jnp.asarray(batch[:1])
         params = {"params": state.params}
-        out = generate(params, intro, cfg=cfg, max_steps=S)
-        jax.block_until_ready(out)  # compile
+        # force_full: all 1024 decode steps run (random weights would
+        # early-stop immediately and flatter the number)
+        out = generate(params, intro, cfg=cfg, max_steps=S, force_full=True)
+        _ = np.asarray(out).sum()  # compile + sync
         t0 = time.perf_counter()
         out = generate(params, intro, rng=jax.random.PRNGKey(1), cfg=cfg,
-                       max_steps=S)
-        jax.block_until_ready(out)
+                       max_steps=S, force_full=True)
+        _ = np.asarray(out).sum()
         decode_s = time.perf_counter() - t0
     except Exception as exc:  # keep the primary metric robust
         print(f"decode bench failed: {exc}", file=sys.stderr)

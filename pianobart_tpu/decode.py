@@ -34,7 +34,8 @@ _SOS_ROW = jnp.asarray(V.SOS, dtype=jnp.int32)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "temperature", "top_p", "max_steps"))
+    static_argnames=("cfg", "temperature", "top_p", "max_steps",
+                     "force_full"))
 def _generate_impl(
     params,
     encoder_ids: jax.Array,           # (B, S, 8) int32
@@ -44,6 +45,7 @@ def _generate_impl(
     temperature: Tuple[float, ...],
     top_p: Tuple[float, ...],
     max_steps: int,
+    force_full: bool = False,
 ) -> jax.Array:
     model = PianoBartLM(cfg)
     B, S, _ = encoder_ids.shape
@@ -63,6 +65,11 @@ def _generate_impl(
         nxt = sample_octuple(sub, logits[:, 0, :], cfg, temperature, top_p)
         # Early stop on any special token: do not write the row (model.py:63-65).
         is_special = (nxt >= _PAD_ROW[None, :]).any(axis=-1)
+        if force_full:
+            # fixed-length mode: clamp sampled specials back into vocab and
+            # keep decoding (benchmarks / fixed-length continuation)
+            nxt = jnp.minimum(nxt, _PAD_ROW[None, :] - 1)
+            is_special = jnp.zeros_like(is_special)
         newly_done = jnp.logical_or(done, is_special)
         write = jnp.where((~newly_done)[:, None], nxt,
                           jnp.broadcast_to(_PAD_ROW, nxt.shape))
@@ -93,8 +100,14 @@ def generate(
     temperature: Sequence[float] = DEFAULT_TEMPERATURE,
     top_p: Sequence[float] = DEFAULT_TOP_P,
     max_steps: Optional[int] = None,
+    force_full: bool = False,
 ):
-    """Generate a continuation token grid (B, S, 8) from an intro."""
+    """Generate a continuation token grid (B, S, 8) from an intro.
+
+    ``force_full`` disables the special-token early stop (sampled specials
+    are clamped to the largest content id) — fixed-length continuation and
+    honest worst-case latency benchmarking.
+    """
     assert cfg is not None, "pass the model config"
     encoder_ids = jnp.asarray(encoder_ids, dtype=jnp.int32)
     if encoder_ids.ndim == 2:
@@ -105,7 +118,8 @@ def generate(
         rng = jax.random.PRNGKey(0)
     steps = max_steps or encoder_ids.shape[1]
     return _generate_impl(params, encoder_ids, jnp.asarray(encoder_mask), rng,
-                          cfg, tuple(temperature), tuple(top_p), steps)
+                          cfg, tuple(temperature), tuple(top_p), steps,
+                          force_full)
 
 
 def make_generate_fn(cfg: PianoBartConfig, **kw):

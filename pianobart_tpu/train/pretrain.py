@@ -93,23 +93,32 @@ def pretrain_eval_step(state: TrainState, batch: jax.Array, rng: jax.Array,
 def pretrain_multi_step(state: TrainState, batch: jax.Array, rng: jax.Array,
                         cfg: PianoBartConfig, mask_percent: float = 0.15,
                         n_steps: int = 10):
-    """K fused train steps in ONE dispatch (benchmark / low-host-overhead
-    training path: a single device program, one host round trip)."""
+    """K fused train steps in ONE dispatch: a single device program, one
+    host round trip (the tunnel costs ~25 ms per dispatch).
 
-    def body(carry, i):
-        state, rng = carry
+    ``batch`` is either ``(B, S, 8)`` (reused every step — benchmarks) or
+    ``(K, B, S, 8)`` (one batch per step — training).  Returns
+    (state, (losses (K,), field_accs (K, 8))).
+    """
+    if batch.ndim == 3:
+        batch = jnp.broadcast_to(batch, (n_steps,) + batch.shape)
+    assert batch.shape[0] == n_steps
+
+    def body(state_rng, b):
+        state, rng = state_rng
         rng, sub = jax.random.split(rng)
         rc, rd = jax.random.split(jax.random.fold_in(sub, state.step))
-        corrupted, loss_mask = corrupt_batch(rc, batch, mask_percent)
+        corrupted, loss_mask = corrupt_batch(rc, b, mask_percent)
         grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
-        (total, _), grads = grad_fn(state.params, state.apply_fn, batch,
-                                    corrupted, loss_mask, cfg, rd, False)
+        (total, (fused, _)), grads = grad_fn(
+            state.params, state.apply_fn, b, corrupted, loss_mask, cfg,
+            rd, False)
         state = state.apply_gradients(grads=grads)
-        return (state, rng), total
+        accs = masked_field_accuracy(fused, b, loss_mask, cfg)
+        return (state, rng), (total, accs)
 
-    (state, _), losses = jax.lax.scan(body, (state, rng),
-                                      jnp.arange(n_steps))
-    return state, losses
+    (state, _), (losses, accs) = jax.lax.scan(body, (state, rng), batch)
+    return state, (losses, accs)
 
 
 def batch_iterator(data: np.ndarray, batch_size: int, rng: np.random.Generator,

@@ -18,7 +18,8 @@ import numpy as np
 
 from ..models.config import PianoBartConfig
 from ..utils.logging import MetricsLogger
-from .pretrain import batch_iterator, pretrain_eval_step, pretrain_step
+from .pretrain import (batch_iterator, pretrain_eval_step,
+                       pretrain_multi_step, pretrain_step)
 from .state import CheckpointManager, TrainState
 
 
@@ -33,7 +34,8 @@ class PretrainRunner:
                  train_data: np.ndarray, valid_data: np.ndarray,
                  save_dir: str, batch_size: int = 16,
                  mask_percent: float = 0.15, patience: int = 30,
-                 seed: int = 2023, put_batch: Callable = jnp.asarray):
+                 seed: int = 2023, put_batch: Callable = jnp.asarray,
+                 steps_per_dispatch: int = 8):
         self.state = state
         self.cfg = cfg
         self.train_data = train_data
@@ -42,6 +44,7 @@ class PretrainRunner:
         self.mask_percent = mask_percent
         self.patience = patience
         self.put_batch = put_batch
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
         self.logger = MetricsLogger(save_dir)
         self.ckpt = CheckpointManager(save_dir)
         self.np_rng = np.random.default_rng(seed)
@@ -50,23 +53,44 @@ class PretrainRunner:
         self.bad_epochs = 0
 
     def train_epoch(self) -> Dict[str, Any]:
+        """Batches are grouped K-per-dispatch: one device program per K
+        steps (lax.scan inside pretrain_multi_step) instead of K host round
+        trips."""
         losses, accs, n = [], [], 0
         t0 = time.time()
         tokens = 0
-        for batch, _ in batch_iterator(self.train_data, self.batch_size,
-                                       self.np_rng, shuffle=True):
-            self.state, m = pretrain_step(self.state, self.put_batch(batch),
-                                          self.rng, self.cfg,
-                                          self.mask_percent)
-            losses.append(m["loss"])
-            accs.append(m["field_acc"])
-            tokens += batch.shape[0] * batch.shape[1]
-            n += 1
-            self.logger.step_echo(n, m)
+        K = self.steps_per_dispatch
+        group: list = []
+        it = batch_iterator(self.train_data, self.batch_size, self.np_rng,
+                            shuffle=True)
+
+        def flush(group):
+            nonlocal n, tokens
+            if not group:
+                return
+            stacked = np.stack(group)
+            self.state, (ls, ac) = pretrain_multi_step(
+                self.state, self.put_batch(stacked), self.rng, self.cfg,
+                self.mask_percent, len(group))
+            losses.append(ls)
+            accs.append(ac)
+            tokens += stacked.shape[0] * stacked.shape[1] * stacked.shape[2]
+            n += len(group)
+            self.logger.step_echo(
+                n, {"loss": ls[-1],
+                    "weighted_acc": float(np.asarray(ac[-1]).mean())})
+
+        for batch, _ in it:
+            group.append(batch)
+            if len(group) == K:
+                flush(group)
+                group = []
+        flush(group)
         dt = time.time() - t0
-        return {"loss": _to_float(jnp.stack(losses).mean()) if losses else 0.0,
-                "field_acc": np.asarray(jnp.stack(accs).mean(0)) if accs else
-                np.zeros(8),
+        return {"loss": _to_float(jnp.concatenate(losses).mean()) if losses
+                else 0.0,
+                "field_acc": np.asarray(jnp.concatenate(accs).mean(0))
+                if accs else np.zeros(8),
                 "tokens_per_sec": tokens / max(dt, 1e-9), "steps": n}
 
     def valid_epoch(self) -> Dict[str, Any]:
