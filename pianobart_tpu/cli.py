@@ -80,8 +80,7 @@ def _init_state(model, cfg, args, lr: float):
     B, S = 2, cfg.max_len
     ids = jnp.zeros((B, S, 8), jnp.int32)
     m = jnp.ones((B, S))
-    if isinstance(model.__class__.__name__, str) and \
-            model.__class__.__name__ == "SequenceClassification":
+    if model.__class__.__name__ == "SequenceClassification":
         sample = (ids, m)
     elif model.__class__.__name__ == "TokenClassification":
         dec = (jnp.zeros((B, S), jnp.int32)
@@ -169,7 +168,14 @@ def cmd_finetune(args) -> int:
     else:
         model = TokenClassification(cfg, class_num=class_num + 1)
 
-    data = load_finetune(args.dataroot, args.dataset, args.task)
+    data = list(load_finetune(args.dataroot, args.dataset, args.task))
+    # token-task labels come out of data_split as (N, S, 1): squeeze — the
+    # reference gates this behind --error_correction (finetune.py:179-180),
+    # we do it whenever the trailing label dim is 1.
+    for i in range(3, 6):
+        y = np.asarray(data[i])
+        if y.ndim == 3 and y.shape[-1] == 1:
+            data[i] = y.squeeze(-1)
     state, mesh = _init_state(model, cfg, args, args.lr)
     state = _load_init_ckpt(state, args, cfg, kind="trunk")
     save_dir = os.path.join("result", "finetune", f"{args.task}_{args.name}")
@@ -358,6 +364,9 @@ def build_parser() -> argparse.ArgumentParser:
     sf.add_argument("--dataroot", type=str, default="Data/finetune/others")
     sf.add_argument("--class_num", type=int, default=None)
     sf.add_argument("--weight", type=float, default=None)
+    sf.add_argument("--error_correction", action="store_true",
+                    help="accepted for reference-CLI parity; label squeeze "
+                         "is automatic")
     _add_model_flags(sf)
     _add_train_flags(sf)
     sf.set_defaults(fn=cmd_finetune, batch_size=8, epochs=50)
