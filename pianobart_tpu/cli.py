@@ -324,6 +324,34 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_convert_ckpt(args) -> int:
+    """Convert a reference torch checkpoint into an orbax directory."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from .compat.torch_import import import_checkpoint
+    from .models import PianoBartLM
+    from .train.state import CheckpointManager, TrainState, make_optimizer
+
+    cfg = _cfg_from_args(args)
+    tree = import_checkpoint(args.ckpt, cfg, kind=args.kind)
+    model = PianoBartLM(cfg)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.zeros((1, cfg.max_len, 8), jnp.int32)
+    m = jnp.ones((1, cfg.max_len))
+    params = dict(nn.meta.unbox(model.init(rng, ids, ids, m, m))["params"])
+    for k, v in tree.items():
+        if k in params:
+            params[k] = v
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_optimizer())
+    mgr = CheckpointManager(args.output)
+    mgr.save(0, state, {"weighted_acc": -1.0, "source": args.ckpt},
+             is_best=True)
+    print(f"converted {args.ckpt} -> {args.output}")
+    return 0
+
+
 def cmd_check(args) -> int:
     from .tokenizer.validate import check_finetune, check_pretrain
     arr = np.load(args.file, allow_pickle=True)
@@ -441,6 +469,14 @@ def build_parser() -> argparse.ArgumentParser:
     scat.set_defaults(fn=lambda a: (__import__(
         "pianobart_tpu.data", fromlist=["concatenate_pretrain"])
         .concatenate_pretrain(a.dataroot, a.datasets, a.output), 0)[1])
+
+    scc = sub.add_parser("convert-ckpt")
+    scc.add_argument("--ckpt", required=True, help="torch .ckpt/.pth")
+    scc.add_argument("--output", required=True, help="orbax directory")
+    scc.add_argument("--kind", default=None,
+                     choices=[None, "trunk", "lm", "seq", "token"])
+    _add_model_flags(scc)
+    scc.set_defaults(fn=cmd_convert_ckpt)
 
     sc = sub.add_parser("check")
     sc.add_argument("--file", required=True)

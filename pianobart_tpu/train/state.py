@@ -136,15 +136,27 @@ class CheckpointManager:
         return state, int(step)
 
     def restore_params(self, params, best: bool = True):
-        """Load only model params (e.g. pretrain trunk into a finetune)."""
+        """Load only model params (e.g. pretrain trunk into a finetune).
+
+        Restores the raw checkpoint tree (no optimizer-state target needed)
+        and grafts matching subtrees onto ``params``.
+        """
         meta = self._read_meta()
         name = "best" if best and meta.get("best_step") is not None else \
             f"step_{meta.get('last_step')}"
         path = os.path.join(self.directory, name)
-        restored = self.ckptr.restore(path, target={"params": params,
-                                                    "opt_state": None,
-                                                    "step": np.asarray(0)})
-        return restored["params"]
+        restored = self.ckptr.restore(path)["params"]
+
+        def graft(template, saved):
+            if isinstance(template, dict):
+                return {k: graft(v, saved[k]) if k in saved else v
+                        for k, v in template.items()}
+            arr = np.asarray(saved)
+            assert arr.shape == np.asarray(template).shape, (
+                f"checkpoint shape {arr.shape} != model {np.shape(template)}")
+            return arr.astype(np.asarray(template).dtype)
+
+        return graft(params, restored)
 
 
 def _jsonable(v):

@@ -164,3 +164,40 @@ def test_token_classifier_velocity_parity(ref_modules):
     ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(labels),
                        jnp.asarray(mask), jnp.asarray(mask))
     np.testing.assert_allclose(t_out.numpy(), np.asarray(ours), rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_torch_ckpt_conversion_roundtrip(ref_modules, tmp_path):
+    """torch .ckpt -> import -> orbax save -> restore -> same logits."""
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.compat.torch_import import import_checkpoint
+    from pianobart_tpu.models import PianoBartLM
+    from pianobart_tpu.train.state import (CheckpointManager, TrainState,
+                                           make_optimizer)
+
+    ours_cfg, theirs_cfg = small_cfgs(ref_modules)
+    torch.manual_seed(7)
+    theirs = ref_model.PianoBartLM(ref_pb.PianoBart(theirs_cfg, e2w, w2e)).eval()
+    ckpt_path = tmp_path / "model.ckpt"
+    torch.save({"state_dict": theirs.state_dict()}, ckpt_path)
+
+    params = import_checkpoint(str(ckpt_path), ours_cfg)
+    model = PianoBartLM(ours_cfg)
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_optimizer())
+    mgr = CheckpointManager(str(tmp_path / "orbax"))
+    mgr.save(0, state, {"weighted_acc": 0.0}, is_best=True)
+    restored = mgr.restore_params(params, best=True)
+
+    ids, mask = rand_batch(e2w, seed=9)
+    a = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(ids),
+                    jnp.asarray(mask), jnp.asarray(mask))
+    b = model.apply({"params": restored}, jnp.asarray(ids), jnp.asarray(ids),
+                    jnp.asarray(mask), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    t_out = theirs(torch.tensor(ids), torch.tensor(ids),
+                   torch.tensor(mask), torch.tensor(mask))
+    ours_fields = model.apply({"params": restored}, a,
+                              method=PianoBartLM.logits_per_field)
+    np.testing.assert_allclose(t_out[3].numpy(), np.asarray(ours_fields[3]),
+                               rtol=2e-4, atol=2e-4)
