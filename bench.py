@@ -28,10 +28,23 @@ import time
 import numpy as np
 
 A100_BASELINE_TOKS = 18_000.0
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench/driver runs skip the
+    multi-minute remote compiles."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
 BATCH = 32
 
 
 def main() -> None:
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from flax import linen as nn

@@ -451,7 +451,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pretrained backbone checkpoint")
     sm.add_argument("--method", default="mask_merging",
                     choices=["average_merging", "task_arithmetic",
-                             "ties_merging", "mask_merging"])
+                             "ties_merging", "mask_merging",
+                             "fisher_merging", "regmean_merging"])
+    sm.add_argument("--data", type=str, default=None,
+                    help="pretrain .npy for fisher/regmean statistics")
+    sm.add_argument("--num_examples", type=int, default=32)
     sm.add_argument("--mask_apply_method", default="average_merging")
     sm.add_argument("--weight_mask_rate", type=float, default=0.8)
     sm.add_argument("--use_weight_rescale", action="store_true", default=True)

@@ -33,6 +33,78 @@ def _load_params(path: str, cfg: PianoBartConfig):
     return import_checkpoint(path, cfg)
 
 
+def _fisher_batches(args):
+    """Load (n, B, S, 8) batches for data-aware merging from --data."""
+    if not getattr(args, "data", None):
+        raise SystemExit("fisher/regmean merging needs --data <pretrain .npy>")
+    arr = np.load(args.data, allow_pickle=True).astype(np.int64)
+    n = min(getattr(args, "num_examples", 32), len(arr))
+    bs = 4
+    return [arr[i:i + bs] for i in range(0, n, bs)]
+
+
+def _lm_grad_fn(cfg, trunk_params):
+    """Gradient of the teacher-forced LM loss w.r.t. trunk params.
+
+    The reference computes fisher weights from each finetune's own task loss
+    via its trainer (merging_methods.py:82-264); for trunk checkpoints we
+    use the shared LM objective, which is defined for every trunk.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from .. import vocab as V
+    from ..models import PianoBartLM
+    from ..train.objective import masked_field_ce, shift_right
+
+    model = PianoBartLM(cfg.replace(dtype=jnp.float32))
+    rng = jax.random.PRNGKey(0)
+
+    def build_full(trunk):
+        ids = jnp.zeros((1, cfg.max_len, 8), jnp.int32)
+        m = jnp.ones((1, cfg.max_len))
+        full = dict(nn.meta.unbox(model.init(rng, ids, ids, m, m))["params"])
+        full["pianobart"] = trunk
+        return full
+
+    @jax.jit
+    def grad_fn_inner(full, batch):
+        def loss(pp):
+            dec = shift_right(batch, jnp.asarray(V.SOS, jnp.int32))
+            mask = (batch[..., 0] != V.PAD[0]).astype(jnp.float32)
+            fused = model.apply({"params": pp}, batch, dec, mask, mask, True)
+            lm = jnp.ones(batch.shape, jnp.float32)
+            return masked_field_ce(fused, batch, lm, cfg)[0]
+        return jax.grad(loss)(full)["pianobart"]
+
+    def grad_fn(trunk, batch):
+        import jax.numpy as jnp2
+        full = build_full(trunk)
+        return grad_fn_inner(full, jnp2.asarray(batch, jnp2.int32))
+
+    return grad_fn
+
+
+def _trunk_grams(cfg, trunk_params, batches):
+    """Dense-input Gram matrices for RegMean over trunk Dense layers."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from .. import vocab as V
+    from ..models import PianoBart
+    from ..train.objective import shift_right
+    from .methods import collect_dense_grams
+
+    model = PianoBart(cfg.replace(dtype=jnp.float32))
+    args_list = []
+    for b in batches:
+        b = jnp.asarray(b, jnp.int32)
+        dec = shift_right(b, jnp.asarray(V.SOS, jnp.int32))
+        mask = (b[..., 0] != V.PAD[0]).astype(jnp.float32)
+        args_list.append((b, dec, mask, mask))
+    return collect_dense_grams(model, {"params": trunk_params}, args_list)
+
+
 def run_merge(args) -> str:
     cfg = PianoBartConfig()
     models = [_load_params(p, cfg) for p in args.models]
@@ -71,6 +143,15 @@ def run_merge(args) -> str:
         merged = methods.ties_merging(pre_trunk, trunks,
                                       args.param_value_mask_rate,
                                       args.scaling_coefficient)
+    elif args.method == "fisher_merging":
+        batches = _fisher_batches(args)
+        fishers = [methods.compute_fisher_weights(
+            _lm_grad_fn(cfg, m), m, batches) for m in trunks]
+        merged = methods.fisher_merging(trunks, fishers)
+    elif args.method == "regmean_merging":
+        batches = _fisher_batches(args)
+        grams = [_trunk_grams(cfg, m, batches) for m in trunks]
+        merged = methods.regmean_merging(trunks, grams)
     else:
         raise ValueError(args.method)
 

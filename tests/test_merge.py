@@ -177,3 +177,27 @@ def test_parity_with_reference(ref_merging, method, kwargs):
             node = node[p]
         np.testing.assert_allclose(val.detach().numpy(), node, rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_collect_dense_grams_interceptor():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from pianobart_tpu.merge import collect_dense_grams
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3, name="out")(nn.relu(nn.Dense(5, name="hid")(x)))
+
+    net = Net()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 4))
+    variables = net.init(jax.random.PRNGKey(1), x)
+    grams = collect_dense_grams(net, variables, [(x,), (x * 2,)])
+    assert set(grams) == {"hid/kernel", "out/kernel"}
+    assert grams["hid/kernel"].shape == (4, 4)
+    assert grams["out/kernel"].shape == (5, 5)
+    # gram of inputs: average of x^T x / n over the two batches
+    expect = (np.asarray(x).T @ np.asarray(x) / 16
+              + np.asarray(x * 2).T @ np.asarray(x * 2) / 16) / 2
+    np.testing.assert_allclose(grams["hid/kernel"], expect, rtol=1e-5)
