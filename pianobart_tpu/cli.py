@@ -295,7 +295,6 @@ def cmd_eval_gen(args) -> int:
     import jax.numpy as jnp
     from .models import PianoBartLM
     from .decode import generate
-    from .models.pianobart import attention_mask_from_bars
 
     cfg = _cfg_from_args(args)
     X = np.load(os.path.join(args.dataroot, f"{args.datasets}_test.npy"),

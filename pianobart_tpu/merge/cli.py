@@ -8,8 +8,6 @@ our orbax directories.  Output: a flax msgpack params file.
 from __future__ import annotations
 
 import os
-from typing import List
-
 import numpy as np
 
 from ..models import PianoBartConfig

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import io
 from collections import OrderedDict
-from typing import BinaryIO, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 from .events import Instrument, MidiFile, Note, TempoChange, TimeSignature
 

@@ -12,7 +12,6 @@ tables), so checkpoint parity is preserved.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax

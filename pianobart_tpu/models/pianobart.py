@@ -16,14 +16,14 @@ loop lives in :mod:`pianobart_tpu.decode`.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from .. import vocab as V
-from .bart import Decoder, Encoder, MultiHeadAttention
+from .bart import Decoder, Encoder
 from .config import PianoBartConfig
 from .embedding import LabelEmbedding, OctupleEmbedding
 from .heads import (OctupleLMHead, SequenceClassifierHead, TokenClassifierHead,

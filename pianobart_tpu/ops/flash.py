@@ -22,11 +22,9 @@ Runs in interpret mode off-TPU so the same kernels are unit-tested on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

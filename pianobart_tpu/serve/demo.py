@@ -78,7 +78,6 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
     from flax import linen as nn
     from ..decode import generate
     from ..models import PianoBartConfig, PianoBartLM
-    from ..models.pianobart import attention_mask_from_bars
 
     cfg = PianoBartConfig(d_model=hs, encoder_layers=layers,
                           decoder_layers=layers, ffn_dim=ffn_dims,

@@ -25,7 +25,6 @@ never exercise the path.  We implement the documented intent
 """
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Tuple
 
 from ..midi.events import Instrument, MidiFile, Note, TempoChange, TimeSignature

@@ -22,12 +22,12 @@ import json
 import os
 import random
 import zipfile
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from .. import vocab as V
-from .codec import EMOTION_MAP, MELODY_MAP, VELOCITY_MAP
+from .codec import MELODY_MAP, VELOCITY_MAP
 from .segment import data_split, process_bytes
 
 __all__ = ["run_dataset_pipeline", "list_midi_files", "composer_from_path",

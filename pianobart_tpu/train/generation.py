@@ -21,7 +21,7 @@ the runner on eval batches, not inside the jitted step.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ loss = vocab-size-weighted masked CE against the clean sequence; AdamW
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ import numpy as np
 
 from .. import vocab as V
 from ..models.config import PianoBartConfig
-from ..models.pianobart import PianoBartLM
 from ..ops.noise import corrupt_batch
 from .objective import (masked_field_accuracy, masked_field_ce, shift_right,
                         weighted_average_accuracy)

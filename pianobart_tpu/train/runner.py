@@ -10,7 +10,7 @@ metrics.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,7 @@ import numpy as np
 from ..models.config import PianoBartConfig
 from ..utils.logging import MetricsLogger
 from .pretrain import (batch_iterator, pretrain_eval_step,
-                       pretrain_multi_step, pretrain_step)
+                       pretrain_multi_step)
 from .state import CheckpointManager, TrainState
 
 

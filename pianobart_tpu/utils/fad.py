@@ -19,7 +19,7 @@ host — its second CPU hot spot, SURVEY §3.3).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
