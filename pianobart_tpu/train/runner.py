@@ -109,6 +109,7 @@ class PretrainRunner:
 
     def run(self, epochs: int, resume: bool = False) -> TrainState:
         start_epoch = 0
+        run_t0 = time.time()
         if resume:
             self.state, start_epoch = self.ckpt.restore(self.state)
         n_tok = np.asarray(self.cfg.field_sizes, dtype=np.float64)
@@ -134,6 +135,9 @@ class PretrainRunner:
                 f"valid_loss={va['loss']:.4f}, "
                 f"valid_acc={fmt(va['field_acc'])}, "
                 f"tok/s={tr['tokens_per_sec']:.0f}")
+        # total wall-time report (main.py:94-100)
+        self.logger.epoch_line(
+            f"Time cost in pretrain is {time.time() - run_t0:.1f}s")
         return self.state
 
 

@@ -105,3 +105,17 @@ def test_dedup_across_splits(midi_dir, tmp_path, rng):
     run_dataset_pipeline(str(root), task="pretrain",
                          out_root=str(tmp_path / "o7"), log=logs.append)
     assert any("DUPLICATE" in l for l in logs)
+
+
+def test_pipeline_from_zip(midi_dir, tmp_path):
+    import zipfile
+    zpath = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(midi_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                z.write(p, os.path.relpath(p, midi_dir))
+    out = run_dataset_pipeline(str(zpath), task="pretrain",
+                               out_root=str(tmp_path / "oz"), log=lambda *_: None)
+    arr = np.load(out["train"])
+    assert arr.shape[1:] == (1024, 8)
