@@ -285,7 +285,7 @@ def cmd_demo(args) -> int:
     run_demo(input_path=args.input, output_path=args.output, ckpt=args.ckpt,
              max_seq_len=args.max_seq_len, hs=args.hs, layers=args.layers,
              ffn_dims=args.ffn_dims, heads=args.heads,
-             nopretrain=args.nopretrain)
+             nopretrain=args.nopretrain, force_full=args.force_full)
     return 0
 
 
@@ -432,6 +432,9 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--output", default="./output.mid")
     sd.add_argument("--ckpt", default=None)
     sd.add_argument("--nopretrain", action="store_true")
+    sd.add_argument("--force_full", action="store_true",
+                    help="generate a full fixed-length continuation (no "
+                         "early stop on sampled special tokens)")
     _add_model_flags(sd)
     sd.set_defaults(fn=cmd_demo)
 

@@ -72,7 +72,8 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
              ckpt: Optional[str] = None, max_seq_len: int = 1024,
              hs: int = 1024, layers: int = 8, ffn_dims: int = 2048,
              heads: int = 8, nopretrain: bool = False,
-             rng_seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+             rng_seed: int = 0,
+             force_full: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
@@ -104,7 +105,8 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
                     merged[k] = v
             params = {"params": merged}
 
-    out = generate(params, ids, rng=jax.random.PRNGKey(rng_seed + 1), cfg=cfg)
+    out = generate(params, ids, rng=jax.random.PRNGKey(rng_seed + 1), cfg=cfg,
+                   force_full=force_full)
     out = np.asarray(out[0])
     ok = window_to_midi(out, output_path)
     print(f"Saved to {output_path}" if ok else "Generate Fail! (empty)")

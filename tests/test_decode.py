@@ -93,3 +93,13 @@ def test_generate_matches_full_forward(lm):
         steps.append(np.asarray(logits[:, 0]))
     inc = np.stack(steps, axis=1)
     np.testing.assert_allclose(np.asarray(full), inc, rtol=2e-4, atol=2e-4)
+
+
+def test_generate_force_full(lm):
+    cfg, model, params = lm
+    rng = jax.random.PRNGKey(5)
+    ids = jax.random.randint(rng, (1, cfg.max_len, 8), 0, 30).astype(jnp.int32)
+    out = np.asarray(generate(params, ids, rng=rng, cfg=cfg, force_full=True))
+    # every row is a content octuple: no specials anywhere
+    pad = np.asarray(V.PAD)
+    assert (out < pad).all()
