@@ -18,7 +18,6 @@ reference reloads the full checkpoint per request, app.py:71-93).
 """
 from __future__ import annotations
 
-import cgi
 import io
 import json
 import mimetypes
@@ -45,6 +44,30 @@ def _render_audio(midi_path: str, wav_path: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def _parse_multipart_file(environ, field: str) -> Tuple[str, bytes]:
+    """Minimal multipart/form-data parser for one file field (the stdlib
+    ``cgi`` module is deprecated/removed in newer Pythons)."""
+    ctype = environ.get("CONTENT_TYPE", "")
+    if "multipart/form-data" not in ctype or "boundary=" not in ctype:
+        raise ValueError("expected multipart/form-data")
+    boundary = ctype.split("boundary=", 1)[1].split(";")[0].strip().strip('"')
+    length = int(environ.get("CONTENT_LENGTH") or 0)
+    body = environ["wsgi.input"].read(length)
+    delim = b"--" + boundary.encode()
+    for part in body.split(delim):
+        if b"\r\n\r\n" not in part:
+            continue
+        header, _, payload = part.partition(b"\r\n\r\n")
+        htext = header.decode("latin-1", errors="replace")
+        if f'name="{field}"' not in htext or "filename=" not in htext:
+            continue
+        filename = htext.split("filename=", 1)[1].split("\r\n")[0].strip().strip('"')
+        if not filename:
+            continue
+        return filename, payload.rstrip(b"\r\n").removesuffix(b"--")
+    raise ValueError("no file")
 
 
 class GenerationService:
@@ -170,15 +193,14 @@ class App:
         return self._json(404, {"error": "no such route"})
 
     def upload(self, environ) -> Tuple[str, list, bytes]:
-        form = cgi.FieldStorage(fp=environ["wsgi.input"], environ=environ,
-                                keep_blank_values=True)
-        if "file" not in form or not getattr(form["file"], "filename", ""):
-            return self._json(400, {"error": "no file"})
-        item = form["file"]
-        name = f"{uuid.uuid4().hex[:8]}_{os.path.basename(item.filename)}"
+        try:
+            filename, data = _parse_multipart_file(environ, field="file")
+        except ValueError as exc:
+            return self._json(400, {"error": str(exc)})
+        name = f"{uuid.uuid4().hex[:8]}_{os.path.basename(filename)}"
         path = os.path.join(UPLOAD_DIR, name)
         with open(path, "wb") as f:
-            f.write(item.file.read())
+            f.write(data)
         wav = path.rsplit(".", 1)[0] + ".wav"
         audio = _render_audio(path, wav)
         return self._json(200, {"file": name,
