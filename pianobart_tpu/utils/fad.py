@@ -178,3 +178,93 @@ def generation_fad(y: np.ndarray, outputs: np.ndarray,
         fad += fad_windows(y1, y2)
         fad_bar += fad_bars(y1, y2, bars)
     return fad / B, fad_bar / B
+
+
+# ---------------------------------------------------------------------------
+# On-device (jax) variant: fixed-length windows only — the per-step training
+# metric path.  The reference computes this per batch in host Python
+# (finetune_generation.py:186-225, its second CPU hot spot); here the whole
+# window FAD is one jitted program (vmap over windows, lax.scan Fréchet DP).
+# ---------------------------------------------------------------------------
+
+def _fad_jax_impl(y1, y2):
+    import jax
+    import jax.numpy as jnp
+
+    n = ESTIMATION_POINTS
+
+    def rebalance(c):                                    # (P, 2) -> (n, 2)
+        seg = jnp.linalg.norm(jnp.diff(c, axis=0), axis=-1)
+        cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
+        total = jnp.where(cum[-1] == 0, 1.0, cum[-1])
+        t = cum / total
+        targets = jnp.linspace(0.0, 1.0, n)
+        idx = jnp.clip(jnp.searchsorted(t, targets, side="right") - 1,
+                       0, c.shape[0] - 2)
+        t0 = t[idx]
+        t1 = t[idx + 1]
+        denom = jnp.where(t1 - t0 == 0, 1.0, t1 - t0)
+        w = jnp.clip((targets - t0) / denom, 0.0, 1.0)[:, None]
+        return c[idx] * (1 - w) + c[idx + 1] * w
+
+    def normalize(c):
+        c = rebalance(c)
+        c = c - c.mean(axis=0, keepdims=True)
+        scale = jnp.sqrt((c ** 2).sum() / n)
+        return c / jnp.where(scale == 0, 1.0, scale)
+
+    def curve_len(c):
+        return jnp.linalg.norm(jnp.diff(c, axis=0), axis=-1).sum()
+
+    def frechet(a, b):
+        d = jnp.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)  # (n, n)
+
+        def row(prev, di):
+            # DP row update: ca[i,j] = max(d[i,j], min(ca[i-1,j-1],
+            # ca[i-1,j], ca[i,j-1])); the j-1 dependence is the scan carry.
+            def cell(left, args):
+                d_ij, up, diag = args
+                out = jnp.maximum(jnp.minimum(jnp.minimum(diag, up), left),
+                                  d_ij)
+                return out, out
+            diag = jnp.concatenate([jnp.array([jnp.inf]), prev[:-1]])
+            _, rowvals = jax.lax.scan(cell, jnp.inf, (di, prev, diag))
+            return rowvals, rowvals
+
+        # first row: running max of d[0, :]
+        row0 = jax.lax.associative_scan(jnp.maximum, d[0])
+        last, _ = jax.lax.scan(lambda p, di: row(p, di), row0, d[1:])
+        return last[-1]
+
+    def one(yy1, yy2):
+        P = yy1.shape[0]
+        x = jnp.arange(P, dtype=jnp.float32)
+        c1 = normalize(jnp.stack([x, yy1], axis=-1))
+        c2 = normalize(jnp.stack([x, yy2], axis=-1))
+        geo = jnp.sqrt(curve_len(c1) * curve_len(c2))
+        num = (c1[:, 1] * c2[:, 0] - c1[:, 0] * c2[:, 1]).sum()
+        den = (c1[:, 0] * c2[:, 0] + c1[:, 1] * c2[:, 1]).sum()
+        pt = jnp.arctan2(num, den)
+        pt = jnp.where(pt > math.pi, pt - 2 * math.pi, pt)
+        thetas = jnp.concatenate([
+            jnp.array([0.0, pt]),
+            jnp.array([-RESTRICT_ROTATION + 2 * i * RESTRICT_ROTATION
+                       / (ROTATION_ROUNDS - 1)
+                       for i in range(ROTATION_ROUNDS)])])
+
+        def rot(theta):
+            cs, sn = jnp.cos(theta), jnp.sin(theta)
+            r = jnp.stack([c1[:, 0] * cs - c1[:, 1] * sn,
+                           c1[:, 0] * sn + c1[:, 1] * cs], axis=-1)
+            return frechet(r, c2)
+
+        best = jax.vmap(rot)(thetas).min()
+        return jnp.maximum(1 - best / (1e-8 + geo / math.sqrt(2)), 0.0)
+
+    return jax.vmap(one)(y1, y2)
+
+
+def shape_similarity_batch_jax(y1, y2):
+    """jit-able batched shape similarity over (B, P) tracks (device path)."""
+    import jax
+    return jax.jit(_fad_jax_impl)(y1.astype("float32"), y2.astype("float32"))

@@ -68,3 +68,13 @@ def test_generation_fad_batch():
     fad, fad_bar = generation_fad(y, out, attn)
     assert fad == pytest.approx(1.0, abs=0.02)
     assert fad_bar == pytest.approx(1.0, abs=0.02)
+
+
+def test_jax_fad_matches_numpy():
+    from pianobart_tpu.utils.fad import shape_similarity_batch_jax
+    rng = np.random.default_rng(7)
+    y1 = np.cumsum(rng.normal(size=(12, 9)), axis=1) * 10
+    y2 = np.cumsum(rng.normal(size=(12, 9)), axis=1) * 10
+    a = shape_similarity_batch(y1, y2)
+    b = np.round(np.asarray(shape_similarity_batch_jax(y1, y2)), 4)
+    np.testing.assert_allclose(a, b, atol=1e-4)
