@@ -223,7 +223,7 @@ class Encoder(nn.Module):
         x = _constrain_activations(x)
         layer_cls = EncoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(2,))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         for i in range(cfg.encoder_layers):
             x = layer_cls(cfg, name=f"layers_{i}")(x, pad_mask, deterministic)
             x = _constrain_activations(x)
@@ -247,7 +247,7 @@ class Decoder(nn.Module):
         new_cache = {}
         layer_cls = DecoderLayer
         if cfg.remat and cache is None:
-            layer_cls = nn.remat(DecoderLayer, static_argnums=(6,))
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(7,))
         for i in range(cfg.decoder_layers):
             x, lc = layer_cls(cfg, name=f"layers_{i}")(
                 x, enc_out, self_mask, enc_mask,

@@ -91,3 +91,20 @@ def test_excitation_block(env):
     p = mod.init(rng, x)
     y = mod.apply(p, x)
     assert y.shape == x.shape
+
+
+def test_remat_fwd_bwd(env):
+    import flax.linen as fnn
+    from pianobart_tpu.train.objective import masked_field_ce
+    cfg, rng, enc, dec, mask = env
+    cfg_r = cfg.replace(remat=True)
+    model = PianoBartLM(cfg_r)
+    params = fnn.meta.unbox(model.init(rng, enc, dec, mask, mask))["params"]
+
+    def loss(p):
+        out = model.apply({"params": p}, enc, dec, mask, mask, True)
+        return masked_field_ce(out, enc, jnp.ones(enc.shape), cfg_r)[0]
+
+    l, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l))
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
