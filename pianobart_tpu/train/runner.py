@@ -76,9 +76,10 @@ class PretrainRunner:
             accs.append(ac)
             tokens += stacked.shape[0] * stacked.shape[1] * stacked.shape[2]
             n += len(group)
-            self.logger.step_echo(
-                n, {"loss": ls[-1],
-                    "weighted_acc": float(np.asarray(ac[-1]).mean())})
+            # pass device arrays: step_echo only materializes when it
+            # actually prints, keeping dispatches async
+            self.logger.step_echo(n, {"loss": ls[-1], "weighted_acc":
+                                      ac[-1].mean()})
 
         for batch, _ in it:
             group.append(batch)
