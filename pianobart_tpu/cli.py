@@ -307,10 +307,14 @@ def cmd_eval_gen(args) -> int:
     rng = jax.random.PRNGKey(args.seed)
     bs = args.batch_size
     for i in range(0, len(X), bs):
-        chunk = jnp.asarray(X[i:i + bs])
+        chunk = X[i:i + bs]
+        n = len(chunk)
+        if n < bs:  # pad the tail to keep one compiled shape
+            chunk = np.concatenate([chunk, np.tile(chunk[:1], (bs - n, 1, 1))])
         rng, sub = jax.random.split(rng)
-        outs.append(np.asarray(generate(params, chunk, rng=sub, cfg=cfg)))
-        print(f"generated {i + len(chunk)}/{len(X)}")
+        out = np.asarray(generate(params, jnp.asarray(chunk), rng=sub, cfg=cfg))
+        outs.append(out[:n])
+        print(f"generated {i + n}/{len(X)}")
     out = np.concatenate(outs, axis=0)
     np.save(args.output, out)
     print(f"saved {out.shape} to {args.output}")
@@ -352,14 +356,18 @@ def cmd_convert_ckpt(args) -> int:
 
 
 def cmd_check(args) -> int:
-    from .tokenizer.validate import check_finetune, check_pretrain
+    from .tokenizer.validate import (check_finetune, check_pretrain,
+                                     roundtrip_sample)
     arr = np.load(args.file, allow_pickle=True)
     if args.task == "pretrain":
-        report = check_pretrain(arr)
+        report = check_pretrain(arr, packed=args.packed)
     else:
         ans = np.load(args.ans, allow_pickle=True) if args.ans else None
         report = check_finetune(arr, ans, task=args.task)
     print(report)
+    if args.sample:
+        path = roundtrip_sample(arr[:1], args.sample)
+        print(f"round-trip sample written to {path}")
     return 0 if report.ok else 1
 
 
@@ -488,6 +496,10 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--file", required=True)
     sc.add_argument("--ans", default=None)
     sc.add_argument("--task", default="pretrain")
+    sc.add_argument("--packed", action="store_true",
+                    help="flat data_split stream (several songs per window)")
+    sc.add_argument("--sample", type=str, default=None,
+                    help="write one decoded window to this .mid for audition")
     sc.set_defaults(fn=cmd_check)
 
     sv = sub.add_parser("serve")
