@@ -35,7 +35,8 @@ class PretrainRunner:
                  save_dir: str, batch_size: int = 16,
                  mask_percent: float = 0.15, patience: int = 30,
                  seed: int = 2023, put_batch: Callable = jnp.asarray,
-                 steps_per_dispatch: int = 8):
+                 steps_per_dispatch: int = 8,
+                 checkpoint_every_dispatches: int = 0):
         self.state = state
         self.cfg = cfg
         self.train_data = train_data
@@ -45,6 +46,11 @@ class PretrainRunner:
         self.patience = patience
         self.put_batch = put_batch
         self.steps_per_dispatch = max(1, steps_per_dispatch)
+        # mid-epoch safety checkpoints (0 = off); resume restarts the epoch
+        # with the saved params/optimizer (the reference loses everything on
+        # a crash: it only saves at epoch end and never reloads the
+        # optimizer, SURVEY §5)
+        self.checkpoint_every_dispatches = checkpoint_every_dispatches
         self.logger = MetricsLogger(save_dir)
         self.ckpt = CheckpointManager(save_dir)
         self.np_rng = np.random.default_rng(seed)
@@ -64,8 +70,10 @@ class PretrainRunner:
         it = batch_iterator(self.train_data, self.batch_size, self.np_rng,
                             shuffle=True)
 
+        dispatches = 0
+
         def flush(group):
-            nonlocal n, tokens
+            nonlocal n, tokens, dispatches
             if not group:
                 return
             stacked = np.stack(group)
@@ -76,6 +84,11 @@ class PretrainRunner:
             accs.append(ac)
             tokens += stacked.shape[0] * stacked.shape[1] * stacked.shape[2]
             n += len(group)
+            dispatches += 1
+            if (self.checkpoint_every_dispatches
+                    and dispatches % self.checkpoint_every_dispatches == 0):
+                self.ckpt.save(int(self.state.step), self.state,
+                               {"mid_epoch": True}, is_best=False)
             # pass device arrays: step_echo only materializes when it
             # actually prints, keeping dispatches async
             self.logger.step_echo(n, {"loss": ls[-1], "weighted_acc":

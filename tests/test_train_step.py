@@ -117,3 +117,17 @@ def test_pretrain_step_on_dp_tp_mesh(rng):
     # params stay sharded per their annotations
     kern = state.params["lm_head"]["proj"]["kernel"]
     assert len(kern.sharding.device_set) == 8
+
+
+def test_pretrain_step_deterministic(setup, rng):
+    """Same state + batch + key -> bit-identical loss (jit determinism)."""
+    cfg, model, state = setup
+    batch = make_batch(rng, 2, cfg.max_len)
+    key = jax.random.PRNGKey(11)
+    s1 = jax.tree.map(jnp.copy, state)
+    s2 = jax.tree.map(jnp.copy, state)
+    _, m1 = pretrain_step(s1, batch, key, cfg, 0.15)
+    _, m2 = pretrain_step(s2, batch, key, cfg, 0.15)
+    assert float(m1["loss"]) == float(m2["loss"])
+    np.testing.assert_array_equal(np.asarray(m1["field_acc"]),
+                                  np.asarray(m2["field_acc"]))
