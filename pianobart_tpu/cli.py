@@ -355,6 +355,30 @@ def cmd_convert_ckpt(args) -> int:
     return 0
 
 
+def cmd_export_ckpt(args) -> int:
+    """Export an orbax checkpoint to reference torch format."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from .compat.torch_export import export_lm, export_trunk, save_torch_checkpoint
+    from .models import PianoBartLM
+    from .train.state import CheckpointManager
+
+    cfg = _cfg_from_args(args)
+    model = PianoBartLM(cfg)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.zeros((1, cfg.max_len, 8), jnp.int32)
+    m = jnp.ones((1, cfg.max_len))
+    template = nn.meta.unbox(model.init(rng, ids, ids, m, m))["params"]
+    params = CheckpointManager(args.ckpt).restore_params(template)
+    sd = (export_trunk(params["pianobart"], cfg) if args.trunk_only
+          else export_lm(params, cfg))
+    save_torch_checkpoint(sd, args.output)
+    print(f"exported {args.ckpt} -> {args.output} "
+          f"({'trunk' if args.trunk_only else 'lm'}, {len(sd)} tensors)")
+    return 0
+
+
 def cmd_check(args) -> int:
     from .tokenizer.validate import (check_finetune, check_pretrain,
                                      roundtrip_sample)
@@ -491,6 +515,15 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=[None, "trunk", "lm", "seq", "token"])
     _add_model_flags(scc)
     scc.set_defaults(fn=cmd_convert_ckpt)
+
+    sxc = sub.add_parser("export-ckpt")
+    sxc.add_argument("--ckpt", required=True, help="orbax directory")
+    sxc.add_argument("--output", required=True, help="torch .ckpt path")
+    sxc.add_argument("--trunk_only", action="store_true",
+                     help="export the PianoBart trunk only (pretrain-style "
+                          "checkpoint, pretrain.py:100)")
+    _add_model_flags(sxc)
+    sxc.set_defaults(fn=cmd_export_ckpt)
 
     sc = sub.add_parser("check")
     sc.add_argument("--file", required=True)

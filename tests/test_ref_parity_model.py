@@ -201,3 +201,53 @@ def test_torch_ckpt_conversion_roundtrip(ref_modules, tmp_path):
                               method=PianoBartLM.logits_per_field)
     np.testing.assert_allclose(t_out[3].numpy(), np.asarray(ours_fields[3]),
                                rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_export_roundtrip_and_reference_load(ref_modules, tmp_path):
+    """our params -> torch export -> reference model load -> same logits;
+    also import(export(x)) == x."""
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.compat.torch_export import (export_lm,
+                                                   save_torch_checkpoint)
+    from pianobart_tpu.compat.torch_import import import_lm
+    from pianobart_tpu.models import PianoBartLM
+    from flax import linen as nn
+
+    ours_cfg, theirs_cfg = small_cfgs(ref_modules)
+    model = PianoBartLM(ours_cfg)
+    rng = jax.random.PRNGKey(13)
+    ids, mask = rand_batch(e2w, seed=13)
+    params = nn.meta.unbox(model.init(rng, jnp.asarray(ids), jnp.asarray(ids),
+                                      jnp.asarray(mask), jnp.asarray(mask))
+                           )["params"]
+
+    sd = export_lm(params, ours_cfg)
+    # 1. import(export(x)) == x on the fused tensors
+    back = import_lm(sd, ours_cfg)
+    np.testing.assert_allclose(np.asarray(params["pianobart"]["embed"]["table"]),
+                               back["pianobart"]["embed"]["table"], atol=0)
+    np.testing.assert_allclose(np.asarray(params["lm_head"]["proj"]["kernel"]),
+                               back["lm_head"]["proj"]["kernel"], atol=0)
+
+    # 2. the reference model loads the export and matches our logits
+    ckpt = tmp_path / "exported.ckpt"
+    save_torch_checkpoint(sd, str(ckpt))
+    theirs = ref_model.PianoBartLM(ref_pb.PianoBart(theirs_cfg, e2w, w2e)).eval()
+    loaded = torch.load(str(ckpt), map_location="cpu", weights_only=False)
+    missing, unexpected = theirs.load_state_dict(loaded["state_dict"],
+                                                 strict=False)
+    assert not unexpected
+    # only Bart-internal token embeddings (unused with inputs_embeds) missing
+    assert all("embed_tokens" in k or "shared" in k for k in missing), missing
+
+    t_out = theirs(torch.tensor(ids), torch.tensor(ids),
+                   torch.tensor(mask), torch.tensor(mask))
+    fused = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(ids),
+                        jnp.asarray(mask), jnp.asarray(mask))
+    ours_fields = model.apply({"params": params}, fused,
+                              method=PianoBartLM.logits_per_field)
+    for i in (0, 3, 7):
+        np.testing.assert_allclose(t_out[i].numpy(),
+                                   np.asarray(ours_fields[i]),
+                                   rtol=2e-4, atol=2e-4)
