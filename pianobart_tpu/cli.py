@@ -62,10 +62,18 @@ def _cfg_from_args(args, **kw):
 
 
 def _make_mesh(args):
+    import jax
     from .parallel.mesh import make_mesh
     if args.mesh:
         dp, tp, sp = (int(x) for x in args.mesh.split("x"))
         return make_mesh(dp=dp, tp=tp, sp=sp)
+    n = len(jax.devices())
+    bs = getattr(args, "batch_size", None)
+    if bs is not None and bs % n != 0:
+        # all-devices dp doesn't divide the batch: run single-device rather
+        # than failing (explicit --mesh overrides)
+        return make_mesh(dp=1, tp=1, sp=1,
+                         devices=jax.devices()[:1])
     return make_mesh(tp=1, sp=1)
 
 
@@ -124,7 +132,7 @@ def cmd_pretrain(args) -> int:
     from flax import linen as nn
     from .models import PianoBartLM
     from .train.runner import PretrainRunner
-    from .parallel.mesh import LOGICAL_RULES, batch_sharding
+    from .parallel.mesh import LOGICAL_RULES, put_batch_fn
     from .data import load_pretrain
 
     cfg = _cfg_from_args(args)
@@ -136,14 +144,15 @@ def cmd_pretrain(args) -> int:
     state = _load_init_ckpt(state, args, cfg, kind="trunk")
     save_dir = os.path.join("result", "pretrain", args.name)
 
-    import jax.numpy as jnp
-    put = functools.partial(jax.device_put,
-                            device=batch_sharding(mesh))
+    if args.batch_size % mesh.shape["dp"] != 0:
+        raise SystemExit(f"--batch_size {args.batch_size} must be divisible "
+                         f"by the dp mesh axis ({mesh.shape['dp']}); use "
+                         f"--mesh to pick a layout")
     runner = PretrainRunner(state, cfg, X_train, X_val, save_dir,
                             batch_size=args.batch_size,
                             mask_percent=args.mask_percent,
                             patience=30, seed=args.seed,
-                            put_batch=lambda b: put(jnp.asarray(b)))
+                            put_batch=put_batch_fn(mesh))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0

@@ -1,2 +1,2 @@
 from .mesh import (LOGICAL_RULES, batch_sharding, make_mesh, param_shardings,
-                   shard_params, single_device_mesh)
+                   put_batch_fn, shard_params, single_device_mesh)

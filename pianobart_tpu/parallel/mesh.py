@@ -63,9 +63,30 @@ def param_shardings(variables, mesh: Mesh, rules=LOGICAL_RULES):
     return logical_to_sharding(spec, mesh, rules)
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
-    """Batch tensors: leading axis on dp, rest replicated."""
-    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+def batch_sharding(mesh: Mesh, ndim: int = 3,
+                   batch_axis: int = 0) -> NamedSharding:
+    """Batch tensors: ``batch_axis`` on dp, rest replicated."""
+    spec = [None] * ndim
+    spec[batch_axis] = "dp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def put_batch_fn(mesh: Mesh):
+    """Device-put for (B, S, 8) or K-stacked (K, B, S, 8) batches: the batch
+    axis goes to dp; the step axis of stacked batches stays replicated."""
+    import jax.numpy as jnp
+
+    def put(b):
+        b = jnp.asarray(b)
+        axis = 1 if b.ndim == 4 else 0
+        if b.shape[axis] % mesh.shape["dp"] != 0:
+            raise ValueError(
+                f"batch size {b.shape[axis]} not divisible by dp="
+                f"{mesh.shape['dp']}; pick --batch_size k*dp or a smaller "
+                f"--mesh")
+        return jax.device_put(b, batch_sharding(mesh, b.ndim, axis))
+
+    return put
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -1,0 +1,47 @@
+"""CLI smoke tests: every subcommand parses; pretrain runs end-to-end."""
+import os
+
+import numpy as np
+import pytest
+
+from pianobart_tpu.cli import build_parser, main
+from tests.test_midi_io import make_song
+
+
+def test_all_subcommands_parse():
+    p = build_parser()
+    p.parse_args(["pretrain"])
+    p.parse_args(["finetune", "--task", "melody", "--dataset", "POP909"])
+    p.parse_args(["finetune-generation"])
+    p.parse_args(["ablation"])
+    p.parse_args(["tokenize", "--dataset", "x"])
+    p.parse_args(["demo", "--input", "x.mid"])
+    p.parse_args(["eval-gen", "--dataroot", "d"])
+    p.parse_args(["merge", "--models", "a", "b"])
+    p.parse_args(["concat", "--dataroot", "d", "--datasets", "a",
+                  "--output", "o.npy"])
+    p.parse_args(["convert-ckpt", "--ckpt", "a", "--output", "b"])
+    p.parse_args(["export-ckpt", "--ckpt", "a", "--output", "b"])
+    p.parse_args(["check", "--file", "f.npy"])
+    p.parse_args(["serve"])
+
+
+def test_cli_pretrain_end_to_end(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("songs")
+    for i in range(8):
+        make_song(rng, n_notes=60).dump(f"songs/s{i}.mid")
+    assert main(["tokenize", "--dataset", "songs", "--task", "pretrain",
+                 "--pad"]) == 0
+    import shutil
+    for split in ("train", "valid", "test"):
+        src = f"Data/output_pretrain/songs/songs_{split}.npy"
+        if os.path.exists(src):
+            shutil.copyfile(
+                src, f"Data/output_pretrain/songs/songs_{split}_split.npy")
+    assert main(["pretrain", "--dataroot", "Data/output_pretrain",
+                 "--datasets", "songs", "--batch_size", "2", "--epochs", "1",
+                 "--hs", "64", "--layers", "1", "--ffn_dims", "64",
+                 "--heads", "4", "--dtype", "f32", "--name", "smoke"]) == 0
+    assert os.path.exists("result/pretrain/smoke/log")
+    assert os.path.exists("result/pretrain/smoke/best")
