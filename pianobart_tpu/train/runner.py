@@ -184,12 +184,14 @@ class SupervisedRunner:
         self.best = -1.0
         self.bad = 0
 
-    def _epoch(self, X, y, train: bool) -> Dict[str, Any]:
+    def _epoch(self, X, y, train: bool,
+               collect_outputs: bool = False) -> Dict[str, Any]:
         losses = []
         acc_num = 0.0
         acc_den = 0.0
         field_accs = []
         extras = []
+        outputs = []
         n = len(X)
         idx = self.np_rng.permutation(n) if train else np.arange(n)
         stop = (n // self.batch_size) * self.batch_size
@@ -209,6 +211,10 @@ class SupervisedRunner:
                 field_accs.append(m["field_acc"])
             if self.eval_hook is not None and not train:
                 extras.append(self.eval_hook(np.asarray(bx), np.asarray(by), m))
+            if collect_outputs:
+                key = "pred" if "pred" in m else "outputs"
+                if key in m:
+                    outputs.append(np.asarray(m[key]))
         out: Dict[str, Any] = {
             "loss": _to_float(jnp.stack(losses).mean()) if losses else 0.0}
         if acc_den:
@@ -219,6 +225,8 @@ class SupervisedRunner:
             keys = extras[0].keys()
             out.update({k: float(np.mean([e[k] for e in extras]))
                         for k in keys})
+        if collect_outputs and outputs:
+            out["outputs"] = np.concatenate(outputs, axis=0)
         return out
 
     def _selection_score(self, va: Dict[str, Any]) -> float:
@@ -235,8 +243,14 @@ class SupervisedRunner:
         for epoch in range(start, epochs):
             tr = self._epoch(self.X_train, self.y_train, train=True)
             va = self._epoch(self.X_val, self.y_val, train=False)
-            te = (self._epoch(self.X_test, self.y_test, train=False)
+            te = (self._epoch(self.X_test, self.y_test, train=False,
+                              collect_outputs=True)
                   if run_test_each_epoch else {})
+            test_outputs = te.pop("outputs", None)
+            if test_outputs is not None:
+                # reference test() returns all_output for offline analysis
+                # (finetune.py:148-150); persist it per epoch
+                np.save(f"{self.save_dir}/test_outputs.npy", test_outputs)
             score = self._selection_score(va)
             is_best = score >= self.best
             self.best = max(score, self.best)

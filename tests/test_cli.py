@@ -45,3 +45,24 @@ def test_cli_pretrain_end_to_end(tmp_path, rng, monkeypatch):
                  "--heads", "4", "--dtype", "f32", "--name", "smoke"]) == 0
     assert os.path.exists("result/pretrain/smoke/log")
     assert os.path.exists("result/pretrain/smoke/best")
+
+
+def test_cli_pretrain_on_virtual_mesh(tmp_path, rng, monkeypatch):
+    """Multi-device pretrain through the CLI (dp*tp mesh on 8 CPU devices)."""
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("songs")
+    for i in range(8):
+        make_song(rng, n_notes=60).dump(f"songs/s{i}.mid")
+    main(["tokenize", "--dataset", "songs", "--task", "pretrain", "--pad"])
+    import shutil
+    for split in ("train", "valid", "test"):
+        src = f"Data/output_pretrain/songs/songs_{split}.npy"
+        if os.path.exists(src):
+            shutil.copyfile(
+                src, f"Data/output_pretrain/songs/songs_{split}_split.npy")
+    assert main(["pretrain", "--dataroot", "Data/output_pretrain",
+                 "--datasets", "songs", "--batch_size", "4", "--epochs", "1",
+                 "--hs", "64", "--layers", "1", "--ffn_dims", "64",
+                 "--heads", "4", "--dtype", "f32", "--name", "meshsmoke",
+                 "--mesh", "4x2x1"]) == 0
+    assert os.path.exists("result/pretrain/meshsmoke/best")
