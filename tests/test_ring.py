@@ -1,0 +1,39 @@
+"""Ring attention prototype: matches full attention on a virtual sp mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pianobart_tpu.ops.attention import _xla_attention
+from pianobart_tpu.ops.ring import ring_attention_sharded
+from pianobart_tpu.parallel.mesh import make_mesh
+
+B, S, H, D = 2, 256, 2, 128
+
+
+def setup(seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(k1, (B, S, H, D)) * 0.3
+    k = jax.random.normal(k2, (B, S, H, D)) * 0.3
+    v = jax.random.normal(k3, (B, S, H, D))
+    mask = jnp.ones((B, S)).at[1, S - 30:].set(0.0)
+    return q, k, v, mask
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_matches_full(causal):
+    q, k, v, mask = setup()
+    mesh = make_mesh(dp=1, tp=1, sp=4, devices=jax.devices()[:4])
+    out = ring_attention_sharded(q, k, v, mask, causal=causal, mesh=mesh)
+    expect = _xla_attention(q, k, v, mask, causal, None, 0.0, True, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_ring_no_mask():
+    q, k, v, _ = setup(seed=1)
+    mesh = make_mesh(dp=1, tp=1, sp=4, devices=jax.devices()[:4])
+    out = ring_attention_sharded(q, k, v, None, causal=False, mesh=mesh)
+    expect = _xla_attention(q, k, v, None, False, None, 0.0, True, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=3e-5, atol=3e-5)
