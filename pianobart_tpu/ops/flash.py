@@ -249,24 +249,16 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd_impl(causal, block_q, block_kv, res, g):
-    qf, kf, vf, maskf, out, lse, shapes = res
-    B, Sq, H, D = shapes
+def _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal, block_q, block_kv):
+    """dQ for flattened (B*H, S, D) blocks given the global row lse/delta."""
+    BH, Sq, D = qf.shape
     Skv = kf.shape[1]
     block_q = _resolve(block_q, _BWD_BLOCK, Sq)
     block_kv = _resolve(block_kv, _BWD_BLOCK, Skv)
-    dof = g.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
-    # Δ_i = rowsum(dO ∘ O) (FlashAttention-2, eq. for dS)
-    delta = (dof.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
-    delta = delta[:, None, :]                                # (B*H, 1, Sq)
-
     nq = Sq // block_q
     nkv = Skv // block_kv
-    common_in = [
-        pl.BlockSpec((1, block_kv), None),   # placeholder, replaced below
-    ]
-    del common_in
-
+    B = BH  # grid leading dim
+    H = 1
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, block_q=block_q,
                           block_kv=block_kv),
@@ -285,7 +277,19 @@ def _bwd_impl(causal, block_q, block_kv, res, g):
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=_interpret(),
     )(maskf, qf, kf, vf, dof, lse, delta)
+    return dq
 
+
+def _dkv_call(qf, kf, vf, maskf, dof, lse, delta, causal, block_q, block_kv):
+    """dK, dV for flattened (B*H, S, D) blocks given global row lse/delta."""
+    BH, Sq, D = qf.shape
+    Skv = kf.shape[1]
+    block_q = _resolve(block_q, _BWD_BLOCK, Sq)
+    block_kv = _resolve(block_kv, _BWD_BLOCK, Skv)
+    nq = Sq // block_q
+    nkv = Skv // block_kv
+    B = BH
+    H = 1
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, causal=causal, block_q=block_q,
                           block_kv=block_kv),
@@ -311,6 +315,22 @@ def _bwd_impl(causal, block_q, block_kv, res, g):
                         pltpu.VMEM((block_kv, D), jnp.float32)],
         interpret=_interpret(),
     )(maskf, qf, kf, vf, dof, lse, delta)
+    return dk, dv
+
+
+def _bwd_impl(causal, block_q, block_kv, res, g):
+    qf, kf, vf, maskf, out, lse, shapes = res
+    B, Sq, H, D = shapes
+    Skv = kf.shape[1]
+    dof = g.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    # Δ_i = rowsum(dO ∘ O) (FlashAttention-2, eq. for dS)
+    delta = (dof.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
+    delta = delta[:, None, :]                                # (B*H, 1, Sq)
+
+    dq = _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal,
+                  block_q, block_kv)
+    dk, dv = _dkv_call(qf, kf, vf, maskf, dof, lse, delta, causal,
+                       block_q, block_kv)
 
     def unflat(x, S):
         return x.reshape(B, H, S, D).transpose(0, 2, 1, 3)

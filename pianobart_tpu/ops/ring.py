@@ -1,23 +1,26 @@
-"""Ring attention over a sequence-parallel mesh axis (prototype).
+"""Ring attention over a sequence-parallel mesh axis.
 
 Long-context extension beyond the reference's offline chunking (SURVEY §5:
-the reference caps sequences at 1024 and splits songs offline;
-runtime sequence scaling is the framework's long-context answer).
+the reference caps sequences at 1024 and splits songs offline; runtime
+sequence scaling is the framework's long-context answer).
 
 Each ``sp`` shard holds a sequence slice of q/k/v.  K/V (+ key mask) rotate
 around the ring via ``ppermute``; every step computes a LOCAL flash
-attention block (our pallas kernel, which returns the row log-sum-exp) and
-the partial outputs merge with the online-softmax identity::
+attention block (our pallas kernels, which expose the row log-sum-exp) and
+partial outputs merge with the online-softmax identity::
 
     lse = logaddexp(lse_a, lse_b)
     out = out_a * exp(lse_a - lse) + out_b * exp(lse_b - lse)
 
-Causality across shards is handled at block granularity: a whole k/v block
-strictly in the future is skipped; the diagonal block uses the kernel's
-causal mask with the correct global offset.  Forward-only for now (wire
-into training needs the matching ring backward) — used for sharded
-inference/scoring and as the round-2 basis for fully sequence-parallel
-training.
+Causality across shards is block-granular: k/v blocks strictly in the
+future are skipped; the diagonal block uses the kernel's causal mask.
+
+TRAINABLE: the custom VJP runs the ring again, with dK/dV accumulators
+*traveling alongside their k/v blocks* — after n rotations each accumulator
+arrives back at its owner having collected the contributions of every query
+shard, while dQ accumulates locally.  The per-block gradients reuse the
+flash backward pallas kernels with the globally-merged lse (the standard
+FlashAttention decomposition of the softmax Jacobian across key blocks).
 """
 from __future__ import annotations
 
@@ -26,7 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .flash import _fwd as _flash_fwd
+from .flash import _dkv_call, _dq_call, _fwd as _flash_fwd
 
 __all__ = ["ring_attention", "ring_attention_sharded"]
 
@@ -47,18 +50,14 @@ def _merge(out_a, lse_a, out_b, lse_b):
             + out_b.astype(jnp.float32) * wb), lse
 
 
-def ring_attention(q, k, v, kv_mask=None, causal: bool = False,
-                   axis_name: str = "sp"):
-    """Flash attention where q/k/v are sharded on ``axis_name`` (seq axis).
+def _ring_perm(n):
+    return [(j, (j + 1) % n) for j in range(n)]
 
-    Call inside ``shard_map`` (or use :func:`ring_attention_sharded`).
-    Layout (B, S_local, H, D); returns the same.
-    """
+
+def _ring_fwd_loop(q, k, v, kv_mask, causal, axis_name):
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     B, S, H, D = q.shape
-    if kv_mask is None:
-        kv_mask = jnp.ones((B, S), jnp.float32)
 
     def step(carry, i):
         out, lse, kb, vb, mb = carry
@@ -68,17 +67,18 @@ def ring_attention(q, k, v, kv_mask=None, causal: bool = False,
 
         def compute(_):
             # diagonal block: in-kernel causal mask; earlier blocks: full
-            o_d, l_d = _local_flash(q, kb, vb, mb, True)
-            o_f, l_f = _local_flash(q, kb, vb, mb, False)
-            o_i = jnp.where(diagonal, o_d.astype(jnp.float32),
-                            o_f.astype(jnp.float32)) if causal else \
-                o_f.astype(jnp.float32)
-            l_i = (jnp.where(diagonal, l_d, l_f) if causal else l_f)
-            return _merge(out, lse, o_i, l_i)
+            if causal:
+                o_i, l_i = jax.lax.cond(
+                    diagonal,
+                    lambda _: _local_flash(q, kb, vb, mb, True),
+                    lambda _: _local_flash(q, kb, vb, mb, False),
+                    None)
+            else:
+                o_i, l_i = _local_flash(q, kb, vb, mb, False)
+            return _merge(out, lse, o_i.astype(jnp.float32), l_i)
 
-        out, lse = jax.lax.cond(
-            visible, compute, lambda _: (out, lse), None)
-        perm = [(j, (j + 1) % n) for j in range(n)]
+        out, lse = jax.lax.cond(visible, compute, lambda _: (out, lse), None)
+        perm = _ring_perm(n)
         kb = jax.lax.ppermute(kb, axis_name, perm)
         vb = jax.lax.ppermute(vb, axis_name, perm)
         mb = jax.lax.ppermute(mb, axis_name, perm)
@@ -88,7 +88,93 @@ def ring_attention(q, k, v, kv_mask=None, causal: bool = False,
     lse0 = jnp.full((B, H, S), -jnp.inf, jnp.float32)
     (out, lse, *_), _ = jax.lax.scan(
         step, (out0, lse0, k, v, kv_mask), jnp.arange(n))
-    return out.astype(q.dtype)
+    return out.astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ring_attention(q, k, v, kv_mask, causal: bool = False,
+                   axis_name: str = "sp"):
+    """Flash attention with q/k/v sharded on ``axis_name`` (sequence axis).
+
+    Call inside ``shard_map`` (or use :func:`ring_attention_sharded`).
+    Layout (B, S_local, H, D); q pre-scaled by the caller.
+    """
+    out, _ = _ring_fwd_loop(q, k, v, kv_mask, causal, axis_name)
+    return out
+
+
+def _ring_vjp_fwd(q, k, v, kv_mask, causal, axis_name):
+    out, lse = _ring_fwd_loop(q, k, v, kv_mask, causal, axis_name)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _ring_vjp_bwd(causal, axis_name, res, g):
+    q, k, v, kv_mask, out, lse = res
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    B, S, H, D = q.shape
+    BH = B * H
+
+    def flat(x):
+        return x.transpose(0, 2, 1, 3).reshape(BH, x.shape[1], D)
+
+    qf = flat(q)
+    dof = flat(g).astype(jnp.float32)
+    outf = flat(out).astype(jnp.float32)
+    lsef = lse.reshape(BH, S)[:, None, :]
+    delta = (dof * outf).sum(-1)[:, None, :]
+
+    def grads_for_block(kbf, vbf, mbf, block_causal):
+        dq = _dq_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef, delta,
+                      block_causal, None, None)
+        dk, dv = _dkv_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef,
+                           delta, block_causal, None, None)
+        return (dq.astype(jnp.float32), dk.astype(jnp.float32),
+                dv.astype(jnp.float32))
+
+    def step(carry, i):
+        dq, dkb, dvb, kb, vb, mb = carry
+        src_shard = (my - i) % n
+        visible = jnp.logical_or(jnp.logical_not(causal), src_shard <= my)
+        diagonal = src_shard == my
+        kbf = flat(kb)
+        vbf = flat(vb)
+        mbf = jnp.repeat(mb.astype(jnp.int32), H, axis=0)[:, None, :]
+
+        def compute(_):
+            if causal:
+                dq_i, dk_i, dv_i = jax.lax.cond(
+                    diagonal,
+                    lambda _: grads_for_block(kbf, vbf, mbf, True),
+                    lambda _: grads_for_block(kbf, vbf, mbf, False),
+                    None)
+            else:
+                dq_i, dk_i, dv_i = grads_for_block(kbf, vbf, mbf, False)
+
+            def unflat(x):
+                return x.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+            return (dq + unflat(dq_i), dkb + unflat(dk_i),
+                    dvb + unflat(dv_i))
+
+        dq, dkb, dvb = jax.lax.cond(
+            visible, compute, lambda _: (dq, dkb, dvb), None)
+        # grads travel WITH their k/v blocks; after n rotations they are home
+        perm = _ring_perm(n)
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        mb = jax.lax.ppermute(mb, axis_name, perm)
+        dkb = jax.lax.ppermute(dkb, axis_name, perm)
+        dvb = jax.lax.ppermute(dvb, axis_name, perm)
+        return (dq, dkb, dvb, kb, vb, mb), None
+
+    zeros = jnp.zeros((B, S, H, D), jnp.float32)
+    (dq, dk, dv, *_), _ = jax.lax.scan(
+        step, (zeros, zeros, zeros, k, v, kv_mask), jnp.arange(n))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+ring_attention.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
 
 
 def ring_attention_sharded(q, k, v, kv_mask=None, causal: bool = False,

@@ -37,3 +37,25 @@ def test_ring_no_mask():
     expect = _xla_attention(q, k, v, None, False, None, 0.0, True, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_gradients_match_full(causal):
+    """Ring backward (rotating dK/dV accumulators) == full-attention grads."""
+    q, k, v, mask = setup(seed=2)
+    mesh = make_mesh(dp=1, tp=1, sp=4, devices=jax.devices()[:4])
+
+    def loss_ring(q, k, v):
+        o = ring_attention_sharded(q, k, v, mask, causal=causal, mesh=mesh)
+        return (o * jnp.sin(o)).sum()
+
+    def loss_ref(q, k, v):
+        o = _xla_attention(q, k, v, mask, causal, None, 0.0, True, None)
+        return (o * jnp.sin(o)).sum()
+
+    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=4e-4, atol=4e-4,
+                                   err_msg=f"d{name} (causal={causal})")
