@@ -552,8 +552,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (repeat runs skip remote compiles)."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/pianobart_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

@@ -251,3 +251,71 @@ def test_export_roundtrip_and_reference_load(ref_modules, tmp_path):
         np.testing.assert_allclose(t_out[i].numpy(),
                                    np.asarray(ours_fields[i]),
                                    rtol=2e-4, atol=2e-4)
+
+
+@torch.no_grad()
+def test_pretrain_loss_formula_parity(ref_modules):
+    """Given identical logits/targets/masks, our vocab-weighted masked CE
+    equals the reference Pretrainer loss math (pretrain.py:112-118,183-189)."""
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.models import PianoBartConfig
+    from pianobart_tpu.train.objective import masked_field_ce
+
+    cfg = PianoBartConfig(d_model=64, emb_size=256, encoder_layers=1,
+                          decoder_layers=1, ffn_dim=64, num_heads=4,
+                          max_len=16, dropout=0.0, use_flash_attention=False)
+    B, S = 3, 16
+    rng = np.random.default_rng(0)
+    fused = rng.normal(size=(B, S, cfg.total_vocab)).astype(np.float32)
+    targets = np.stack([rng.integers(0, s, (B, S)) for s in cfg.field_sizes],
+                       axis=-1)
+    loss_mask = (rng.random((B, S)) < 0.3).astype(np.float32)
+    loss_mask3 = np.repeat(loss_mask[..., None], 8, axis=-1)
+
+    ours, per_field = masked_field_ce(jnp.asarray(fused), jnp.asarray(targets),
+                                      jnp.asarray(loss_mask3), cfg)
+
+    # reference formula in torch
+    lf = torch.nn.CrossEntropyLoss(reduction="none")
+    losses, n_tok = [], []
+    off = 0
+    for i, size in enumerate(cfg.field_sizes):
+        logits = torch.tensor(fused[..., off:off + size]).permute(0, 2, 1)
+        tgt = torch.tensor(targets[..., i])
+        l = lf(logits, tgt) * torch.tensor(loss_mask)
+        losses.append(l.sum() / torch.tensor(loss_mask).sum())
+        n_tok.append(size)
+        off += size
+    total = sum(l * n for l, n in zip(losses, n_tok)) / sum(n_tok)
+    assert float(ours) == pytest.approx(float(total), rel=1e-5)
+    for i in range(8):
+        assert float(per_field[i]) == pytest.approx(float(losses[i]), rel=1e-5)
+
+
+def test_sampler_distribution_matches_reference(ref_modules):
+    """Empirical distribution of our on-device nucleus sampler vs the
+    reference host sampler on the same logits (p=0.9, t=2)."""
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from pianobart_tpu.ops.sampling import nucleus_sample
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(20,)).astype(np.float32) * 2
+    N = 4000
+    ours = np.zeros(20)
+    key = jax.random.PRNGKey(0)
+    toks = nucleus_sample(key, jnp.tile(jnp.asarray(logits), (N, 1)),
+                          top_p=0.9, temperature=2.0)
+    for t in np.asarray(toks):
+        ours[t] += 1
+
+    theirs = np.zeros(20)
+    np.random.seed(0)
+    for _ in range(N):
+        t = ref_model.sampling(torch.tensor(logits)[None, :], p=0.9, t=2.0)
+        theirs[int(t)] += 1
+
+    ours /= N
+    theirs /= N
+    # same support and close probabilities
+    assert set(np.nonzero(ours)[0]) == set(np.nonzero(theirs)[0])
+    np.testing.assert_allclose(ours, theirs, atol=0.04)
