@@ -105,13 +105,23 @@ def _init_state(model, cfg, args, lr: float):
 
 
 def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
-    """--ckpt: torch .ckpt/.pth (reference format) or orbax dir."""
+    """--ckpt: orbax dir, merged .msgpack, or torch .ckpt/.pth (reference)."""
     if not args.ckpt or args.nopretrain:
         return state
     if os.path.isdir(args.ckpt):
         from .train.state import CheckpointManager
         mgr = CheckpointManager(args.ckpt)
         params = mgr.restore_params(state.params)
+        return state.replace(params=params)
+    if args.ckpt.endswith(".msgpack"):
+        # merged-model output of `pbx merge`
+        from flax import serialization
+        with open(args.ckpt, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        params = dict(state.params)
+        for k, v in tree.items():
+            if k in params:
+                params[k] = v
         return state.replace(params=params)
     from .compat.torch_import import import_checkpoint
     tree = import_checkpoint(args.ckpt, cfg, kind=kind)
