@@ -102,16 +102,26 @@ class MultiHeadAttention(nn.Module):
         elif use_cached_kv:
             new_cache = cache
 
-        out = dot_product_attention(
-            q, k, v,
-            kv_mask=kv_mask,
-            causal=self.causal and cache_index is None,
-            dropout_rate=cfg.attention_dropout,
-            deterministic=deterministic,
-            dropout_rng=(None if deterministic or cfg.attention_dropout == 0.0
-                         else self.make_rng("dropout")),
-            use_flash=cfg.use_flash_attention,
-        )
+        if cfg.ring_axis is not None and cache is None and cache_index is None:
+            # sequence-parallel path: q/k/v hold LOCAL sequence shards inside
+            # shard_map; keys/values rotate around the ring_axis ring
+            from ..ops.ring import ring_attention
+            if kv_mask is None:
+                kv_mask = jnp.ones((B, k.shape[1]), jnp.float32)
+            out = ring_attention(q, k, v, kv_mask,
+                                 self.causal, cfg.ring_axis)
+        else:
+            out = dot_product_attention(
+                q, k, v,
+                kv_mask=kv_mask,
+                causal=self.causal and cache_index is None,
+                dropout_rate=cfg.attention_dropout,
+                deterministic=deterministic,
+                dropout_rng=(None if deterministic
+                             or cfg.attention_dropout == 0.0
+                             else self.make_rng("dropout")),
+                use_flash=cfg.use_flash_attention,
+            )
         out = out.reshape(B, Sq, D)
         out = _dense(D, cfg, ("qkv", "embed"), "out_proj")(out)
         return out, new_cache
@@ -204,6 +214,10 @@ class PositionalEmbedding(nn.Module):
             "embedding",
             nn.with_partitioning(nn.initializers.normal(0.02), (None, "embed")),
             (cfg.max_len + cfg.pos_offset, cfg.d_model), cfg.param_dtype)
+        if cfg.ring_axis is not None:
+            # sequence-parallel: this shard covers global positions
+            # [axis_index * seq_len, ...)
+            start = start + jax.lax.axis_index(cfg.ring_axis) * seq_len
         if isinstance(start, int) and start == 0:
             return table[cfg.pos_offset:cfg.pos_offset + seq_len].astype(cfg.dtype)
         return jax.lax.dynamic_slice_in_dim(

@@ -37,6 +37,10 @@ class PianoBartConfig:
     param_dtype: jnp.dtype = jnp.float32
     use_flash_attention: bool = True       # pallas kernel on TPU when applicable
     remat: bool = False                    # rematerialize layers (memory saver)
+    # Sequence-parallel ring attention: set to the mesh axis name ("sp") and
+    # run the model inside shard_map with the sequence axis sharded on it
+    # (see parallel.sp.encode_sp).  None = dense attention.
+    ring_axis: "Optional[str]" = None
 
     @property
     def head_dim(self) -> int:

@@ -59,3 +59,27 @@ def test_ring_gradients_match_full(causal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=4e-4, atol=4e-4,
                                    err_msg=f"d{name} (causal={causal})")
+
+
+def test_encoder_sp_matches_dense():
+    """PianoBart encoder under shard_map + ring attention == dense encoder."""
+    from flax import linen as nn
+    from pianobart_tpu.models import PianoBart, tiny_config
+    from pianobart_tpu.parallel.sp import encode_sp
+
+    cfg = tiny_config(max_len=128, d_model=128, num_heads=1, emb_size=16)
+    # head_dim must be lane-aligned for the flash kernel; tiny cfg uses
+    # interpret mode on CPU so 128/1 = 128 is fine
+    model_dense = PianoBart(cfg)
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (2, cfg.max_len, 8), 0, 30)
+    mask = jnp.ones((2, cfg.max_len)).at[1, 100:].set(0.0)
+    params = model_dense.init(rng, ids, None, mask)
+    dense = model_dense.apply(params, ids, None, mask)
+
+    cfg_sp = cfg.replace(ring_axis="sp", use_flash_attention=False)
+    model_sp = PianoBart(cfg_sp)
+    mesh = make_mesh(dp=1, tp=1, sp=4, devices=jax.devices()[:4])
+    out = encode_sp(model_sp, params, ids, mask, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
