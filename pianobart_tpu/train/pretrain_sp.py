@@ -1,0 +1,117 @@
+"""Sequence-parallel pretraining step (ring attention over the sp axis).
+
+Trains sequences LONGER than one chip's attention budget without the
+reference's offline chunking (SURVEY §5: the reference hard-caps sequences
+at 1024 and splits songs offline).  Structure:
+
+* corruption + decoder shift run on GLOBAL sequences (cheap, fixed-shape,
+  batch-sharded over dp) — they need whole rows;
+* the model forward/backward runs inside ``shard_map`` with the sequence
+  axis sharded over ``sp``: ring attention (``cfg.ring_axis``), per-shard
+  global positional offsets, position-wise compute on local shards;
+* the masked CE is computed as local (numerator, denominator) pairs and
+  ``psum``-ed over (dp, sp) before the divide, so normalization matches the
+  dense objective exactly;
+* parameter gradients are ``psum``-ed over (dp, sp); the optimizer update
+  happens outside shard_map on the replicated gradients.
+
+``test_sp_train_step`` verifies loss and gradients match the dense step
+bit-for-bit (same corruption rng) on a virtual dp×sp mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .. import vocab as V
+from ..models.config import PianoBartConfig
+from ..models.heads import split_fields
+from ..ops.noise import corrupt_batch
+from .objective import shift_right
+from .state import TrainState
+
+_SOS_ROW = jnp.asarray(V.SOS, dtype=jnp.int32)
+_BAR_PAD = V.PAD[0]
+
+
+def _local_ce_sums(fused, targets, loss_mask, cfg):
+    """Per-field (Σ nll·m, Σ m) on the local shard; psum happens outside."""
+    fields = split_fields(fused.astype(jnp.float32), cfg)
+    nums, dens = [], []
+    for i in range(cfg.n_fields):
+        logp = jax.nn.log_softmax(fields[i], axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., i:i + 1], axis=-1)[..., 0]
+        m = loss_mask[..., i]
+        nums.append((nll * m).sum())
+        dens.append(m.sum())
+    return jnp.stack(nums), jnp.stack(dens)
+
+
+def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
+                          mask_percent: float = 0.15,
+                          axes: Tuple[str, str] = ("dp", "sp")):
+    """Build a jitted sp-sharded train step for ``cfg`` (ring_axis set)."""
+    assert cfg.ring_axis is not None, "set cfg.ring_axis (e.g. 'sp')"
+    from ..models.pianobart import PianoBartLM
+    model = PianoBartLM(cfg)
+    dp_axis, sp_axis = axes
+    n_tok = jnp.asarray(cfg.field_sizes, dtype=jnp.float32)
+
+    def loss_and_grads(params, corrupted, dec_ids, targets, loss_mask,
+                       enc_mask, dec_mask):
+        # The differentiated function must stay LOCAL: in unchecked
+        # shard_map the transpose of psum is psum, so putting psums on the
+        # grad path double-counts (local grads come out already global and
+        # an outer psum multiplies by the device count).  Global
+        # denominators enter under stop_gradient; ONE psum outside the grad
+        # reduces the per-shard contributions.
+        def local_loss(p):
+            fused = model.apply({"params": p}, corrupted, dec_ids,
+                                enc_mask, dec_mask, True)
+            nums, dens = _local_ce_sums(fused, targets, loss_mask, cfg)
+            gdens = jax.lax.stop_gradient(
+                jax.lax.psum(dens, (dp_axis, sp_axis)))
+            per_field_local = nums / jnp.maximum(gdens, 1.0)
+            loss_local = (per_field_local * n_tok).sum() / n_tok.sum()
+            return loss_local, (nums, dens)
+
+        (loss_local, (nums, dens)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
+        loss = jax.lax.psum(loss_local, (dp_axis, sp_axis))
+        nums = jax.lax.psum(nums, (dp_axis, sp_axis))
+        dens = jax.lax.psum(dens, (dp_axis, sp_axis))
+        per_field = jnp.where(dens > 0, nums / jnp.maximum(dens, 1.0), 0.0)
+        grads = jax.lax.psum(grads, (dp_axis, sp_axis))
+        return loss, per_field, grads
+
+    sharded = jax.shard_map(
+        loss_and_grads, mesh=mesh,
+        in_specs=(P(),                                  # params replicated
+                  P(dp_axis, sp_axis, None),            # corrupted ids
+                  P(dp_axis, sp_axis, None),            # decoder ids
+                  P(dp_axis, sp_axis, None),            # targets
+                  P(dp_axis, sp_axis, None),            # loss mask
+                  P(dp_axis, sp_axis),                  # enc mask
+                  P(dp_axis, sp_axis)),                 # dec mask
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: jax.Array, rng: jax.Array):
+        rngc, _ = jax.random.split(jax.random.fold_in(rng, state.step))
+        corrupted, loss_mask = corrupt_batch(rngc, batch, mask_percent)
+        dec_ids = shift_right(batch, _SOS_ROW)
+        enc_mask = (corrupted[..., 0] != _BAR_PAD).astype(jnp.float32)
+        dec_mask = (dec_ids[..., 0] != _BAR_PAD).astype(jnp.float32)
+        loss, per_field, grads = sharded(
+            state.params, corrupted, dec_ids, batch, loss_mask,
+            enc_mask, dec_mask)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, "field_loss": per_field}
+
+    return step
