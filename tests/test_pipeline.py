@@ -119,3 +119,14 @@ def test_pipeline_from_zip(midi_dir, tmp_path):
                                out_root=str(tmp_path / "oz"), log=lambda *_: None)
     arr = np.load(out["train"])
     assert arr.shape[1:] == (1024, 8)
+
+
+def test_velocity_pipeline(midi_dir, tmp_path):
+    out = run_dataset_pipeline(midi_dir, task="velocity",
+                               out_root=str(tmp_path / "ov"), log=lambda *_: None)
+    X = np.load(out["train"])
+    y = np.load(out["train_ans"])
+    assert X.shape[:2] == y.shape[:2] and y.shape[2] == 1
+    # labels within the 7-class space (6 dynamics + OTHER padding)
+    assert y.max() <= 6 and y.min() >= 0
+    assert check_finetune(X, y, "velocity").ok
