@@ -12,7 +12,7 @@ Also measures batch-1 KV-cached continuation decode latency for a
 Baseline note: the reference publishes no numbers (SURVEY §6).
 ``A100_BASELINE_TOKS`` is a documented engineering estimate of the
 reference stack's throughput on one A100: the torch model is ~17 TFLOP/step
-at batch 16 (6·170M·16·1024), but the shipped trainer corrupts每 sample in
+at batch 16 (6·170M·16·1024), but the shipped trainer corrupts every sample in
 host Python (pretrain.py:131-144) and syncs argmax to host numpy every step
 (pretrain.py:164-168), capping it well below compute bound.  We use
 18_000 tok/s; vs_baseline is measured/value against that estimate.
@@ -79,6 +79,25 @@ def main() -> None:
     state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
     _ = float(losses[-1])
 
+    # MFU from an analytic FLOP count (XLA cost_analysis can't see inside
+    # the pallas attention kernels, so its number is useless here):
+    # * dense matmuls: 6 * tokens * sum(kernel param sizes) for fwd+bwd;
+    # * attention: per module 2 fwd + 5 bwd block matmuls of
+    #   2*B*S^2*d_model FLOPs each (FlashAttention-2 with the fused
+    #   backward, ops/flash.py) across enc-self/dec-self/cross modules.
+    PEAK_BF16 = {"TPU v4": 275e12, "TPU v5 lite": 197e12,
+                 "TPU v5": 459e12, "TPU v5e": 197e12, "TPU v5p": 459e12,
+                 "TPU v6 lite": 918e12, "TPU v6e": 918e12}
+    n_matmul_params = sum(
+        int(np.prod(p.shape)) for path, p in
+        jax.tree_util.tree_flatten_with_path(state.params)[0]
+        if p.ndim >= 2 and "embedding" not in str(path[-1]).lower())
+    tokens = B * S
+    dense_flops = 6 * tokens * n_matmul_params
+    n_attn = cfg.encoder_layers + 2 * cfg.decoder_layers
+    attn_flops = n_attn * (2 + 5) * 2 * B * S * S * cfg.d_model
+    flops_per_step = float(dense_flops + attn_flops)
+
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -108,10 +127,17 @@ def main() -> None:
     except Exception as exc:  # keep the primary metric robust
         print(f"decode bench failed: {exc}", file=sys.stderr)
 
+    mfu = None
+    if flops_per_step is not None:
+        peak = PEAK_BF16.get(dev.device_kind)
+        if peak:
+            mfu = flops_per_step / (dt / steps) / peak
+
     print(json.dumps({
         "metric": "pretrain_octuple_tokens_per_sec_per_chip",
         "value": round(toks_per_sec, 1),
         "unit": f"tok/s ({platform}, bf16, batch {B}, step {step_ms:.1f} ms"
+                + (f", MFU {mfu * 100:.1f}%" if mfu else "")
                 + (f", decode1024 {decode_s:.2f} s" if decode_s else "")
                 + ")",
         "vs_baseline": round(toks_per_sec / A100_BASELINE_TOKS, 2),

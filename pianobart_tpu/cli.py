@@ -70,10 +70,13 @@ def _make_mesh(args):
     n = len(jax.devices())
     bs = getattr(args, "batch_size", None)
     if bs is not None and bs % n != 0:
-        # all-devices dp doesn't divide the batch: run single-device rather
-        # than failing (explicit --mesh overrides)
-        return make_mesh(dp=1, tp=1, sp=1,
-                         devices=jax.devices()[:1])
+        # Refuse rather than silently idling n-1 chips (round-1 verdict):
+        # the user must pick a divisible batch or an explicit layout.
+        raise SystemExit(
+            f"--batch_size {bs} is not divisible by the {n} available "
+            f"devices; pick --batch_size {max(1, bs // n) * n} / "
+            f"{(bs // n + 1) * n}, or pass an explicit --mesh (e.g. "
+            f"--mesh {n}x1x1, or --mesh 1x1x1 to use one device)")
     return make_mesh(tp=1, sp=1)
 
 
@@ -158,11 +161,39 @@ def cmd_pretrain(args) -> int:
         raise SystemExit(f"--batch_size {args.batch_size} must be divisible "
                          f"by the dp mesh axis ({mesh.shape['dp']}); use "
                          f"--mesh to pick a layout")
+    if X_train.shape[1] != cfg.max_len:
+        raise SystemExit(
+            f"data windows are {X_train.shape[1]} tokens but --max_seq_len "
+            f"is {cfg.max_len}; re-tokenize with `tokenize --max_seq_len "
+            f"{cfg.max_len}` (long windows) or pass --max_seq_len "
+            f"{X_train.shape[1]}")
+
+    # Sequence-parallel training: an sp>1 mesh routes through the ring-
+    # attention shard_map step (train/pretrain_sp.py) — sequences longer
+    # than one chip's attention budget train WITHOUT offline chunking.
+    train_step_fn = eval_step_fn = None
+    if mesh.shape["sp"] > 1:
+        sp = mesh.shape["sp"]
+        if cfg.max_len % sp != 0:
+            raise SystemExit(f"--max_seq_len {cfg.max_len} must be divisible "
+                             f"by the sp mesh axis ({sp})")
+        if mesh.shape["tp"] != 1:
+            raise SystemExit("sp>1 currently composes with dp only; use "
+                             "--mesh DPx1xSP")
+        from .train.pretrain_sp import (make_sp_eval_step,
+                                        make_sp_pretrain_step)
+        cfg_sp = cfg.replace(ring_axis="sp")
+        train_step_fn = make_sp_pretrain_step(cfg_sp, mesh,
+                                              args.mask_percent)
+        eval_step_fn = make_sp_eval_step(cfg_sp, mesh, args.mask_percent)
+
     runner = PretrainRunner(state, cfg, X_train, X_val, save_dir,
                             batch_size=args.batch_size,
                             mask_percent=args.mask_percent,
                             patience=30, seed=args.seed,
-                            put_batch=put_batch_fn(mesh))
+                            put_batch=put_batch_fn(mesh),
+                            train_step_fn=train_step_fn,
+                            eval_step_fn=eval_step_fn)
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -206,8 +237,8 @@ def cmd_finetune(args) -> int:
         step = functools.partial(finetune_token_step, cfg=cfg,
                                  velocity=velocity, reg_weight=args.weight)
 
-    def step_fn(state, bx, by, rng, train=True):
-        return step(state, bx, by, rng, train=train)
+    def step_fn(state, bx, by, rng, train=True, weight=None):
+        return step(state, bx, by, rng, train=train, weight=weight)
 
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
                               batch_size=args.batch_size, patience=3,
@@ -233,9 +264,10 @@ def cmd_finetune_generation(args) -> int:
     state = _load_init_ckpt(state, args, cfg)
     save_dir = os.path.join("result", "finetune", f"generation_{args.name}")
 
-    def step_fn(state, bx, by, rng, train=True):
+    def step_fn(state, bx, by, rng, train=True, weight=None):
         return generation_step(state, bx, by, rng, cfg=cfg,
-                               decoder_mode=args.decoder_mode, train=train)
+                               decoder_mode=args.decoder_mode, train=train,
+                               weight=weight)
 
     def eval_hook(bx, by, metrics):
         if not args.fad:
@@ -281,8 +313,9 @@ def cmd_ablation(args) -> int:
     state = _load_init_ckpt(state, args, cfg)
     save_dir = os.path.join("result", "finetune", f"ablation_{args.name}")
 
-    def step_fn(state, bx, by, rng, train=True):
-        return ablation_step(state, bx, rng, cfg=cfg, train=train)
+    def step_fn(state, bx, by, rng, train=True, weight=None):
+        return ablation_step(state, bx, rng, cfg=cfg, train=train,
+                             weight=weight)
 
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
                               batch_size=args.batch_size, patience=30,
@@ -295,7 +328,8 @@ def cmd_ablation(args) -> int:
 def cmd_tokenize(args) -> int:
     from .tokenizer.pipeline import run_dataset_pipeline
     run_dataset_pipeline(args.dataset, task=args.task, pad=args.pad,
-                         out_root=args.out_root, seed=args.seed)
+                         out_root=args.out_root, seed=args.seed,
+                         window=args.max_seq_len)
     return 0
 
 
@@ -474,8 +508,15 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["pretrain", "composer", "generate", "melody",
                              "velocity", "emotion"])
     st.add_argument("--pad", action="store_true", default=None)
+    st.add_argument("--no_pad", dest="pad", action="store_false",
+                    default=None,
+                    help="emit the flat packed stream (pretrain "
+                         "*_split.npy layout, convert.py:560-565)")
     st.add_argument("--out_root", type=str, default=None)
     st.add_argument("--seed", type=int, default=2023)
+    st.add_argument("--max_seq_len", type=int, default=1024,
+                    help="window length (k*1024 for sequence-parallel "
+                         "long-context training)")
     st.set_defaults(fn=cmd_tokenize)
 
     sd = sub.add_parser("demo")

@@ -117,6 +117,12 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     steps = max_steps or encoder_ids.shape[1]
+    if steps > encoder_ids.shape[1]:
+        # the output buffer is one window (B, S, 8); a longer loop would
+        # clamp dynamic_update_slice and silently overwrite the last row
+        raise ValueError(
+            f"max_steps={steps} exceeds the {encoder_ids.shape[1]}-token "
+            f"window; generate per-window and re-feed the continuation")
     return _generate_impl(params, encoder_ids, jnp.asarray(encoder_mask), rng,
                           cfg, tuple(temperature), tuple(top_p), steps,
                           force_full)

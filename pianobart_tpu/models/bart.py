@@ -25,19 +25,25 @@ import jax.numpy as jnp
 
 from .config import PianoBartConfig
 from ..ops.attention import dot_product_attention
+from ..ops.dropout import Dropout
 
 KVCache = Dict[str, Any]
 
 NEG_INF = -1e9
 
 
-def _constrain_activations(x: jax.Array) -> jax.Array:
+def _constrain_activations(x: jax.Array, cfg=None) -> jax.Array:
     """Logical sharding hint for (batch, seq, embed) activations.
 
     Under ``nn.logical_axis_rules`` mapping batch->dp and seq->sp this
     shards the sequence axis over the ``sp`` mesh axis (sequence
-    parallelism); with no rules in scope it is a no-op.
+    parallelism); with no rules in scope it is a no-op.  Skipped on the
+    ring-attention path (``cfg.ring_axis``): there the model body runs
+    inside ``shard_map`` where every mesh axis is Manual and
+    ``with_sharding_constraint`` is illegal — sharding is already explicit.
     """
+    if cfg is not None and cfg.ring_axis is not None:
+        return x
     return nn.with_logical_constraint(x, ("batch", "seq", "embed"))
 
 
@@ -140,7 +146,7 @@ class FeedForward(nn.Module):
         cfg = self.cfg
         h = _dense(cfg.ffn_dim, cfg, ("embed", "mlp"), "fc1")(x)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
+        h = Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
         h = _dense(cfg.d_model, cfg, ("mlp", "embed"), "fc2")(h)
         return h
 
@@ -159,12 +165,12 @@ class EncoderLayer(nn.Module):
         residual = x
         h, _ = MultiHeadAttention(cfg, name="self_attn")(
             x, x, kv_mask=pad_mask, deterministic=deterministic)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
         x = _layer_norm(cfg, "self_attn_layer_norm")(residual + h)
 
         residual = x
         h = FeedForward(cfg, name="ffn")(x, deterministic)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
         return _layer_norm(cfg, "final_layer_norm")(residual + h)
 
 
@@ -180,7 +186,7 @@ class DecoderLayer(nn.Module):
             x, x, kv_mask=self_mask,
             cache=None if cache is None else cache.get("self"),
             cache_index=cache_index, deterministic=deterministic)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
         x = _layer_norm(cfg, "self_attn_layer_norm")(residual + h)
 
         residual = x
@@ -188,12 +194,12 @@ class DecoderLayer(nn.Module):
             x, enc_out, kv_mask=enc_mask,
             cache=None if cache is None else cache.get("cross"),
             deterministic=deterministic)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
         x = _layer_norm(cfg, "cross_attn_layer_norm")(residual + h)
 
         residual = x
         h = FeedForward(cfg, name="ffn")(x, deterministic)
-        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
         x = _layer_norm(cfg, "final_layer_norm")(residual + h)
 
         new_cache = None
@@ -233,14 +239,14 @@ class Encoder(nn.Module):
         S = inputs_embeds.shape[1]
         x = inputs_embeds + PositionalEmbedding(cfg, name="embed_positions")(S)
         x = _layer_norm(cfg, "layernorm_embedding")(x)
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
-        x = _constrain_activations(x)
+        x = Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = _constrain_activations(x, cfg)
         layer_cls = EncoderLayer
         if cfg.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         for i in range(cfg.encoder_layers):
             x = layer_cls(cfg, name=f"layers_{i}")(x, pad_mask, deterministic)
-            x = _constrain_activations(x)
+            x = _constrain_activations(x, cfg)
         return x
 
 
@@ -255,9 +261,9 @@ class Decoder(nn.Module):
         start = 0 if cache_index is None else cache_index
         x = inputs_embeds + PositionalEmbedding(cfg, name="embed_positions")(S, start)
         x = _layer_norm(cfg, "layernorm_embedding")(x)
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = Dropout(cfg.dropout)(x, deterministic=deterministic)
         if cache is None:
-            x = _constrain_activations(x)
+            x = _constrain_activations(x, cfg)
         new_cache = {}
         layer_cls = DecoderLayer
         if cfg.remat and cache is None:
@@ -270,5 +276,5 @@ class Decoder(nn.Module):
             if lc is not None:
                 new_cache[f"layers_{i}"] = lc
             if cache is None:
-                x = _constrain_activations(x)
+                x = _constrain_activations(x, cfg)
         return x, (new_cache or None)

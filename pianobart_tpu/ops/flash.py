@@ -40,8 +40,22 @@ _BWD_BLOCK = 1024
 
 
 def _resolve(block, cap, size):
-    b = block if block is not None else cap
-    return min(b, size)
+    """Largest block <= min(block or cap, size) that divides ``size``.
+
+    The kernels tile the sequence with ``size // block`` blocks and no tail
+    handling; a non-divisor block would silently drop the tail (rows past the
+    last full block came out uninitialized — found by the round-1 advisor).
+    Lane alignment (128) is required for the grid to map onto the MXU/VPU.
+    """
+    lane = 128 if not _interpret() else 1
+    if size % lane != 0:
+        raise ValueError(
+            f"flash kernels need a {lane}-multiple sequence length, got {size}")
+    b = min(block if block is not None else cap, size)
+    b -= b % lane
+    while size % b:
+        b -= lane
+    return b
 
 
 def _interpret() -> bool:
@@ -249,6 +263,84 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, dk_ref, dv_ref,
+                      *, causal: bool, block_q: int, block_kv: int):
+    """Single-block fused backward: dQ, dK, dV in ONE kernel.
+
+    Computes S, P, dP, dS exactly once per (q, kv) pair — the two-kernel
+    schedule (``_dq_kernel`` + ``_dkv_kernel``) recomputes them twice and
+    re-reads q/k/v/do from HBM twice.  Used when the whole sequence fits one
+    block per grid step (the flagship S=1024 workload and ring shards);
+    multi-block shapes fall back to the two-kernel path, whose accumulator
+    lifetimes don't fit a single grid order.
+    """
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    mask = mask_ref[0, 0] != 0
+    s = jnp.where(mask[None, :], s, NEG_INF)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        s = jnp.where(rows >= cols, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])                 # (Bq, Bkv)
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0][:, None])
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _bwd_fused_call(qf, kf, vf, maskf, dof, lse, delta, causal,
+                    block_q, block_kv):
+    """Fused dQ/dK/dV when Sq and Skv each fit one block."""
+    BH, Sq, D = qf.shape
+    Skv = kf.shape[1]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, causal=causal, block_q=Sq,
+                          block_kv=Skv),
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Skv), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, Sq, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, Sq, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, Sq), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, Sq), lambda bh: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Sq, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sq, D), qf.dtype),
+            jax.ShapeDtypeStruct((BH, Skv, D), kf.dtype),
+            jax.ShapeDtypeStruct((BH, Skv, D), vf.dtype),
+        ],
+        interpret=_interpret(),
+    )(maskf, qf, kf, vf, dof, lse, delta)
+    return dq, dk, dv
+
+
+def _fused_eligible(Sq, Skv, block_q, block_kv) -> bool:
+    bq = _resolve(block_q, _BWD_BLOCK, Sq)
+    bkv = _resolve(block_kv, _BWD_BLOCK, Skv)
+    return bq == Sq and bkv == Skv
+
+
 def _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal, block_q, block_kv):
     """dQ for flattened (B*H, S, D) blocks given the global row lse/delta."""
     BH, Sq, D = qf.shape
@@ -327,10 +419,14 @@ def _bwd_impl(causal, block_q, block_kv, res, g):
     delta = (dof.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
     delta = delta[:, None, :]                                # (B*H, 1, Sq)
 
-    dq = _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal,
-                  block_q, block_kv)
-    dk, dv = _dkv_call(qf, kf, vf, maskf, dof, lse, delta, causal,
-                       block_q, block_kv)
+    if _fused_eligible(Sq, Skv, block_q, block_kv):
+        dq, dk, dv = _bwd_fused_call(qf, kf, vf, maskf, dof, lse, delta,
+                                     causal, block_q, block_kv)
+    else:
+        dq = _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal,
+                      block_q, block_kv)
+        dk, dv = _dkv_call(qf, kf, vf, maskf, dof, lse, delta, causal,
+                           block_q, block_kv)
 
     def unflat(x, S):
         return x.reshape(B, H, S, D).transpose(0, 2, 1, 3)

@@ -29,7 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .flash import _dkv_call, _dq_call, _fwd as _flash_fwd
+from .flash import (_bwd_fused_call, _dkv_call, _dq_call, _fused_eligible,
+                    _fwd as _flash_fwd)
 
 __all__ = ["ring_attention", "ring_attention_sharded"]
 
@@ -125,10 +126,16 @@ def _ring_vjp_bwd(causal, axis_name, res, g):
     delta = (dof * outf).sum(-1)[:, None, :]
 
     def grads_for_block(kbf, vbf, mbf, block_causal):
-        dq = _dq_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef, delta,
-                      block_causal, None, None)
-        dk, dv = _dkv_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef,
-                           delta, block_causal, None, None)
+        Sq_l, Skv_l = qf.shape[1], kbf.shape[1]
+        if _fused_eligible(Sq_l, Skv_l, None, None):
+            dq, dk, dv = _bwd_fused_call(qf, kbf, vbf, mbf,
+                                         dof.astype(qf.dtype), lsef, delta,
+                                         block_causal, None, None)
+        else:
+            dq = _dq_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef,
+                          delta, block_causal, None, None)
+            dk, dv = _dkv_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef,
+                               delta, block_causal, None, None)
         return (dq.astype(jnp.float32), dk.astype(jnp.float32),
                 dv.astype(jnp.float32))
 

@@ -42,7 +42,9 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1,
     if dp is None:
         assert n % (tp * sp) == 0, f"{n} devices not divisible by tp*sp={tp * sp}"
         dp = n // (tp * sp)
-    assert dp * tp * sp == n, f"mesh {dp}x{tp}x{sp} != {n} devices"
+    need = dp * tp * sp
+    assert need <= n, f"mesh {dp}x{tp}x{sp} needs {need} devices, have {n}"
+    devices = devices[:need]  # explicit smaller meshes take a device subset
     arr = mesh_utils.create_device_mesh((dp, tp, sp), devices=devices)
     return Mesh(arr, ("dp", "tp", "sp"))
 

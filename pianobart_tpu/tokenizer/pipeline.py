@@ -71,8 +71,13 @@ def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
                          pad: Optional[bool] = None,
                          out_root: Optional[str] = None,
                          seed: int = 2023,
+                         window: int = V.MAX_WINDOW,
                          log=print) -> Dict[str, str]:
-    """Tokenize one dataset for one task.  Returns {artifact: path}."""
+    """Tokenize one dataset for one task.  Returns {artifact: path}.
+
+    ``window`` (k*1024) emits long-context rows for the sequence-parallel
+    trainer (``cli pretrain --mesh DPxTPxSP --max_seq_len k*1024``).
+    """
     if pad is None:
         pad = task not in ("melody", "velocity")
     if task in ("melody", "velocity"):
@@ -114,7 +119,7 @@ def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
             emotion = emotion_from_path(rel) if task == "emotion" else None
             res = process_bytes(raw, task=task, pad=pad, composer=composer,
                                 emotion=emotion, dedup_seen=dedup,
-                                file_name=rel)
+                                file_name=rel, window=window)
             if not res.ok:
                 log(f"ERROR({res.status.upper()}): {res.detail}")
                 continue
@@ -143,7 +148,7 @@ def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
         if task == "pretrain":
             arr = np.asarray(sequences, dtype=np.int64)
             if not pad:
-                arr = data_split(arr)
+                arr = data_split(arr, window=window)
                 out_file = os.path.join(out_dir, f"{name}_{split}_split.npy")
             np.save(out_file, arr)
         elif task in ("melody", "velocity"):

@@ -78,18 +78,21 @@ def encoding_hash(encoding: Sequence[Tuple[int, ...]]) -> str:
 
 
 def data_split(data: np.ndarray, content=None,
-               tokens_per_line: int = V.TOKENS_PER_NOTE) -> np.ndarray:
-    """Reshape a flat token stream to ``(m, 1024, tokens_per_line)`` rows.
+               tokens_per_line: int = V.TOKENS_PER_NOTE,
+               window: int = V.MAX_WINDOW) -> np.ndarray:
+    """Reshape a flat token stream to ``(m, window, tokens_per_line)`` rows.
 
     Matches ``data_split`` (convert.py:560-565) including its always-add-one
-    row count ``m = N // 1024 + 1``.
+    row count ``m = N // window + 1``.  ``window`` > 1024 (k*1024) produces
+    long-context rows for the sequence-parallel trainer (the reference has
+    no runtime answer beyond this offline chunking, SURVEY SS5).
     """
     if content is None:
         content = [b + 1 for b in V.TOKEN_BOUNDARY]
-    m = data.shape[0] // V.MAX_WINDOW + 1
-    pad_num = m * V.MAX_WINDOW - data.shape[0]
+    m = data.shape[0] // window + 1
+    pad_num = m * window - data.shape[0]
     padded = np.append(data, [content] * pad_num, axis=0)
-    return padded.reshape(m, V.MAX_WINDOW, tokens_per_line)
+    return padded.reshape(m, window, tokens_per_line)
 
 
 class ProcessResult:
@@ -141,6 +144,7 @@ def process_file(
     emotion: Optional[int] = None,
     dedup_seen: Optional[dict] = None,
     file_name: str = "<memory>",
+    window: int = V.MAX_WINDOW,
 ) -> ProcessResult:
     """Tokenize one parsed MIDI file and package it for ``task``.
 
@@ -153,7 +157,7 @@ def process_file(
     try:
         encoding = midi_to_octuple(midi, task)
         return _package(encoding, task, pad, composer, emotion, dedup_seen,
-                        file_name)
+                        file_name, window)
     except AssertionError as exc:
         return ProcessResult("error", f"{file_name} {exc}")
     except Exception as exc:  # per-file tolerance, convert.py:511-513
@@ -168,6 +172,7 @@ def process_bytes(
     emotion: Optional[int] = None,
     dedup_seen: Optional[dict] = None,
     file_name: str = "<memory>",
+    window: int = V.MAX_WINDOW,
 ) -> ProcessResult:
     """Tokenize raw MIDI bytes, preferring the native C++ parse+quantize
     path (:mod:`pianobart_tpu.midi.native`) with Python fallback."""
@@ -178,7 +183,7 @@ def process_bytes(
             if not encoding:
                 return ProcessResult("blank", file_name)
             return _package(encoding, task, pad, composer, emotion,
-                            dedup_seen, file_name)
+                            dedup_seen, file_name, window)
     except AssertionError as exc:
         return ProcessResult("error", f"{file_name} {exc}")
     except Exception as exc:
@@ -189,7 +194,7 @@ def process_bytes(
     except Exception as exc:
         return ProcessResult("error", f"{file_name} {exc}")
     return process_file(midi, task, pad, composer, emotion, dedup_seen,
-                        file_name)
+                        file_name, window)
 
 
 def _package(
@@ -200,6 +205,7 @@ def _package(
     emotion: Optional[int],
     dedup_seen: Optional[dict],
     file_name: str,
+    window: int = V.MAX_WINDOW,
 ) -> ProcessResult:
     try:
         if not encoding:
@@ -219,12 +225,13 @@ def _package(
                 result.sequences.append(pair[0])
                 result.labels.append(pair[1])
             elif task == "pretrain":
-                result.sequences.append(pad_segment(seg) if pad else seg)
+                result.sequences.append(
+                    pad_segment(seg, window) if pad else seg)
             elif task == "composer":
-                result.sequences.append(pad_segment(seg))
+                result.sequences.append(pad_segment(seg, window))
                 result.labels.append(composer)
             elif task == "emotion":
-                result.sequences.append(pad_segment(seg))
+                result.sequences.append(pad_segment(seg, window))
                 result.labels.append(emotion)
             elif task in ("melody", "velocity"):
                 other = (MELODY_MAP if task == "melody" else VELOCITY_MAP)["OTHER"]

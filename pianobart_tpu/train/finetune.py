@@ -34,12 +34,12 @@ def _l2_penalty(params) -> jax.Array:
                for p in jax.tree.leaves(params))
 
 
-def _seq_loss(params, apply_fn, x, y, cfg, dropout_rng, deterministic,
+def _seq_loss(params, apply_fn, x, y, w, cfg, dropout_rng, deterministic,
               reg_weight):
     attn = (x[..., 0] != _BAR_PAD).astype(jnp.float32)
     rngs = None if deterministic else {"dropout": dropout_rng}
     logits = apply_fn({"params": params}, x, attn, deterministic, rngs=rngs)
-    loss = sequence_ce(logits, y)
+    loss = sequence_ce(logits, y, w)
     if reg_weight is not None:
         loss = loss + reg_weight * _l2_penalty(params)
     return loss, logits
@@ -51,18 +51,22 @@ def _seq_loss(params, apply_fn, x, y, cfg, dropout_rng, deterministic,
 def finetune_seq_step(state: TrainState, x: jax.Array, y: jax.Array,
                       rng: jax.Array, cfg: PianoBartConfig,
                       reg_weight: Optional[float] = None,
-                      train: bool = True) -> Tuple[TrainState, Dict[str, Any]]:
+                      train: bool = True,
+                      weight: Optional[jax.Array] = None,
+                      ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
     if train:
         (loss, logits), grads = jax.value_and_grad(_seq_loss, has_aux=True)(
-            state.params, state.apply_fn, x, y, cfg, rng, False, reg_weight)
+            state.params, state.apply_fn, x, y, weight, cfg, rng, False,
+            reg_weight)
         state = state.apply_gradients(grads=grads)
     else:
-        loss, logits = _seq_loss(state.params, state.apply_fn, x, y, cfg,
-                                 rng, True, reg_weight)
+        loss, logits = _seq_loss(state.params, state.apply_fn, x, y, weight,
+                                 cfg, rng, True, reg_weight)
     pred = logits.argmax(axis=-1)
-    metrics = {"loss": loss, "acc_num": (pred == y).sum(),
-               "acc_den": jnp.asarray(y.shape[0]), "pred": pred}
+    w = jnp.ones(y.shape[0]) if weight is None else weight
+    metrics = {"loss": loss, "acc_num": ((pred == y) * w).sum(),
+               "acc_den": w.sum(), "pred": pred}
     return state, metrics
 
 
@@ -77,17 +81,18 @@ def _token_decoder_inputs(x, y, attn, cfg, velocity: bool):
     return x, attn  # melody: decoder sees the encoder ids (finetune.py:209-213)
 
 
-def _token_loss(params, apply_fn, x, y, cfg, velocity, dropout_rng,
+def _token_loss(params, apply_fn, x, y, w, cfg, velocity, dropout_rng,
                 deterministic, reg_weight):
     attn = (x[..., 0] != _BAR_PAD).astype(jnp.float32)
     dec_ids, dec_attn = _token_decoder_inputs(x, y, attn, cfg, velocity)
     rngs = None if deterministic else {"dropout": dropout_rng}
     logits = apply_fn({"params": params}, x, dec_ids, attn, dec_attn,
                       deterministic, rngs=rngs)
-    loss = token_ce(logits, y, attn)
+    loss_mask = attn if w is None else attn * w[:, None]
+    loss = token_ce(logits, y, loss_mask)
     if reg_weight is not None:
         loss = loss + reg_weight * _l2_penalty(params)
-    return loss, (logits, attn)
+    return loss, (logits, loss_mask)
 
 
 @functools.partial(jax.jit,
@@ -97,20 +102,22 @@ def finetune_token_step(state: TrainState, x: jax.Array, y: jax.Array,
                         rng: jax.Array, cfg: PianoBartConfig,
                         velocity: bool = False,
                         reg_weight: Optional[float] = None,
-                        train: bool = True) -> Tuple[TrainState, Dict[str, Any]]:
+                        train: bool = True,
+                        weight: Optional[jax.Array] = None,
+                        ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
     if train:
-        (loss, (logits, attn)), grads = jax.value_and_grad(
+        (loss, (logits, loss_mask)), grads = jax.value_and_grad(
             _token_loss, has_aux=True)(
-            state.params, state.apply_fn, x, y, cfg, velocity, rng, False,
-            reg_weight)
+            state.params, state.apply_fn, x, y, weight, cfg, velocity, rng,
+            False, reg_weight)
         state = state.apply_gradients(grads=grads)
     else:
-        loss, (logits, attn) = _token_loss(
-            state.params, state.apply_fn, x, y, cfg, velocity, rng, True,
-            reg_weight)
+        loss, (logits, loss_mask) = _token_loss(
+            state.params, state.apply_fn, x, y, weight, cfg, velocity, rng,
+            True, reg_weight)
     pred = logits.argmax(axis=-1)
     metrics = {"loss": loss,
-               "acc_num": ((pred == y) * attn).sum(),
-               "acc_den": attn.sum(), "pred": pred}
+               "acc_num": ((pred == y) * loss_mask).sum(),
+               "acc_den": loss_mask.sum(), "pred": pred}
     return state, metrics

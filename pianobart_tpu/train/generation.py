@@ -21,7 +21,7 @@ the runner on eval batches, not inside the jitted step.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ _BAR_PAD = V.PAD[0]
 _SOS_ROW = jnp.asarray(V.SOS, dtype=jnp.int32)
 
 
-def _gen_loss(params, apply_fn, x, y, cfg, decoder_mode, dropout_rng,
+def _gen_loss(params, apply_fn, x, y, w, cfg, decoder_mode, dropout_rng,
               deterministic):
     attn_enc = (x[..., 0] != _BAR_PAD).astype(jnp.float32)
     if decoder_mode == "intro":
@@ -45,12 +45,13 @@ def _gen_loss(params, apply_fn, x, y, cfg, decoder_mode, dropout_rng,
     else:
         dec_ids = shift_right(y, _SOS_ROW)  # clear-code train_generate.py
     attn_dec = (dec_ids[..., 0] != _BAR_PAD).astype(jnp.float32)
+    loss_mask = attn_dec if w is None else attn_dec * w[:, None]
     rngs = None if deterministic else {"dropout": dropout_rng}
     fused = apply_fn({"params": params}, x, dec_ids, attn_enc, attn_dec,
                      deterministic, rngs=rngs)
-    loss, per_field = masked_field_ce(fused, y, attn_dec, cfg,
+    loss, per_field = masked_field_ce(fused, y, loss_mask, cfg,
                                       GENERATION_FIELD_WEIGHTS)
-    return loss, (fused, per_field, attn_dec)
+    return loss, (fused, per_field, attn_dec, loss_mask)
 
 
 @functools.partial(jax.jit,
@@ -59,17 +60,20 @@ def _gen_loss(params, apply_fn, x, y, cfg, decoder_mode, dropout_rng,
 def generation_step(state: TrainState, x: jax.Array, y: jax.Array,
                     rng: jax.Array, cfg: PianoBartConfig,
                     decoder_mode: str = "intro",
-                    train: bool = True) -> Tuple[TrainState, Dict[str, Any]]:
+                    train: bool = True,
+                    weight: Optional[jax.Array] = None,
+                    ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
     if train:
         (loss, aux), grads = jax.value_and_grad(_gen_loss, has_aux=True)(
-            state.params, state.apply_fn, x, y, cfg, decoder_mode, rng, False)
+            state.params, state.apply_fn, x, y, weight, cfg, decoder_mode,
+            rng, False)
         state = state.apply_gradients(grads=grads)
     else:
-        loss, aux = _gen_loss(state.params, state.apply_fn, x, y, cfg,
-                              decoder_mode, rng, True)
-    fused, per_field, attn_dec = aux
-    accs = masked_field_accuracy(fused, y, attn_dec, cfg)
+        loss, aux = _gen_loss(state.params, state.apply_fn, x, y, weight,
+                              cfg, decoder_mode, rng, True)
+    fused, per_field, attn_dec, loss_mask = aux
+    accs = masked_field_accuracy(fused, y, loss_mask, cfg)
     outputs = greedy_octuple(fused, cfg)
     metrics = {"loss": loss, "field_loss": per_field, "field_acc": accs,
                "outputs": outputs, "attn_dec": attn_dec}
@@ -92,8 +96,11 @@ def _ablation_prepare(batch: jax.Array):
     return enc_ids, dec_ids, label, loss_mask
 
 
-def _ablation_loss(params, apply_fn, batch, cfg, dropout_rng, deterministic):
+def _ablation_loss(params, apply_fn, batch, w, cfg, dropout_rng,
+                   deterministic):
     enc_ids, dec_ids, label, loss_mask = _ablation_prepare(batch)
+    if w is not None:
+        loss_mask = loss_mask * w[:, None]
     attn_enc = (enc_ids[..., 0] != _BAR_PAD).astype(jnp.float32)
     attn_dec = (dec_ids[..., 0] != _BAR_PAD).astype(jnp.float32)
     rngs = None if deterministic else {"dropout": dropout_rng}
@@ -108,15 +115,17 @@ def _ablation_loss(params, apply_fn, batch, cfg, dropout_rng, deterministic):
                    donate_argnums=(0,))
 def ablation_step(state: TrainState, batch: jax.Array, rng: jax.Array,
                   cfg: PianoBartConfig,
-                  train: bool = True) -> Tuple[TrainState, Dict[str, Any]]:
+                  train: bool = True,
+                  weight: Optional[jax.Array] = None,
+                  ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
     if train:
         (loss, aux), grads = jax.value_and_grad(_ablation_loss, has_aux=True)(
-            state.params, state.apply_fn, batch, cfg, rng, False)
+            state.params, state.apply_fn, batch, weight, cfg, rng, False)
         state = state.apply_gradients(grads=grads)
     else:
-        loss, aux = _ablation_loss(state.params, state.apply_fn, batch, cfg,
-                                   rng, True)
+        loss, aux = _ablation_loss(state.params, state.apply_fn, batch,
+                                   weight, cfg, rng, True)
     fused, per_field, loss_mask = aux
     accs = masked_field_accuracy(fused, batch, loss_mask, cfg)
     metrics = {"loss": loss, "field_loss": per_field, "field_acc": accs,

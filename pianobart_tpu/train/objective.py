@@ -96,7 +96,16 @@ def token_ce(
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def sequence_ce(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """Mean sequence-level CE (finetune.py:131-132)."""
+def sequence_ce(logits: jax.Array, targets: jax.Array,
+                weight: Optional[jax.Array] = None) -> jax.Array:
+    """Mean sequence-level CE (finetune.py:131-132).
+
+    ``weight`` (B,) zeroes padded samples in tail batches so every sample of
+    a split contributes exactly once (torch DataLoader keeps tail batches,
+    ``main.py:31-36``; one compiled shape here requires padding instead).
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, targets[:, None], axis=-1).mean()
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    if weight is None:
+        return nll.mean()
+    return (nll * weight).sum() / jnp.maximum(weight.sum(), 1.0)

@@ -39,16 +39,17 @@ _BAR_PAD = V.PAD[0]
 
 
 def _local_ce_sums(fused, targets, loss_mask, cfg):
-    """Per-field (Σ nll·m, Σ m) on the local shard; psum happens outside."""
+    """Per-field (Σ nll·m, Σ m, Σ hit·m) on the local shard; psum outside."""
     fields = split_fields(fused.astype(jnp.float32), cfg)
-    nums, dens = [], []
+    nums, dens, hits = [], [], []
     for i in range(cfg.n_fields):
         logp = jax.nn.log_softmax(fields[i], axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., i:i + 1], axis=-1)[..., 0]
         m = loss_mask[..., i]
         nums.append((nll * m).sum())
         dens.append(m.sum())
-    return jnp.stack(nums), jnp.stack(dens)
+        hits.append(((fields[i].argmax(-1) == targets[..., i]) * m).sum())
+    return jnp.stack(nums), jnp.stack(dens), jnp.stack(hits)
 
 
 def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
@@ -62,7 +63,13 @@ def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
     n_tok = jnp.asarray(cfg.field_sizes, dtype=jnp.float32)
 
     def loss_and_grads(params, corrupted, dec_ids, targets, loss_mask,
-                       enc_mask, dec_mask):
+                       enc_mask, dec_mask, dropout_rng):
+        # Dropout stays ON in sp training (the dense pretrain_step and the
+        # reference trainer both train with dropout); every shard draws an
+        # independent stream by folding its (dp, sp) coordinates in.
+        dropout_rng = jax.random.fold_in(
+            jax.random.fold_in(dropout_rng, jax.lax.axis_index(dp_axis)),
+            jax.lax.axis_index(sp_axis))
         # The differentiated function must stay LOCAL: in unchecked
         # shard_map the transpose of psum is psum, so putting psums on the
         # grad path double-counts (local grads come out already global and
@@ -71,22 +78,25 @@ def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
         # reduces the per-shard contributions.
         def local_loss(p):
             fused = model.apply({"params": p}, corrupted, dec_ids,
-                                enc_mask, dec_mask, True)
-            nums, dens = _local_ce_sums(fused, targets, loss_mask, cfg)
+                                enc_mask, dec_mask, cfg.dropout == 0.0,
+                                rngs={"dropout": dropout_rng})
+            nums, dens, hits = _local_ce_sums(fused, targets, loss_mask, cfg)
             gdens = jax.lax.stop_gradient(
                 jax.lax.psum(dens, (dp_axis, sp_axis)))
             per_field_local = nums / jnp.maximum(gdens, 1.0)
             loss_local = (per_field_local * n_tok).sum() / n_tok.sum()
-            return loss_local, (nums, dens)
+            return loss_local, (nums, dens, hits)
 
-        (loss_local, (nums, dens)), grads = jax.value_and_grad(
+        (loss_local, (nums, dens, hits)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params)
         loss = jax.lax.psum(loss_local, (dp_axis, sp_axis))
         nums = jax.lax.psum(nums, (dp_axis, sp_axis))
         dens = jax.lax.psum(dens, (dp_axis, sp_axis))
+        hits = jax.lax.psum(hits, (dp_axis, sp_axis))
         per_field = jnp.where(dens > 0, nums / jnp.maximum(dens, 1.0), 0.0)
+        accs = jnp.where(dens > 0, hits / jnp.maximum(dens, 1.0), 0.0)
         grads = jax.lax.psum(grads, (dp_axis, sp_axis))
-        return loss, per_field, grads
+        return loss, per_field, accs, grads
 
     sharded = jax.shard_map(
         loss_and_grads, mesh=mesh,
@@ -96,22 +106,78 @@ def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
                   P(dp_axis, sp_axis, None),            # targets
                   P(dp_axis, sp_axis, None),            # loss mask
                   P(dp_axis, sp_axis),                  # enc mask
-                  P(dp_axis, sp_axis)),                 # dec mask
-        out_specs=(P(), P(), P()),
+                  P(dp_axis, sp_axis),                  # dec mask
+                  P()),                                 # dropout rng
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jax.Array, rng: jax.Array):
-        rngc, _ = jax.random.split(jax.random.fold_in(rng, state.step))
+        rngc, rngd = jax.random.split(jax.random.fold_in(rng, state.step))
         corrupted, loss_mask = corrupt_batch(rngc, batch, mask_percent)
         dec_ids = shift_right(batch, _SOS_ROW)
         enc_mask = (corrupted[..., 0] != _BAR_PAD).astype(jnp.float32)
         dec_mask = (dec_ids[..., 0] != _BAR_PAD).astype(jnp.float32)
-        loss, per_field, grads = sharded(
+        loss, per_field, accs, grads = sharded(
             state.params, corrupted, dec_ids, batch, loss_mask,
-            enc_mask, dec_mask)
+            enc_mask, dec_mask, rngd)
         state = state.apply_gradients(grads=grads)
-        return state, {"loss": loss, "field_loss": per_field}
+        return state, {"loss": loss, "field_loss": per_field,
+                       "field_acc": accs}
 
     return step
+
+
+def make_sp_eval_step(cfg: PianoBartConfig, mesh,
+                      mask_percent: float = 0.15,
+                      axes: Tuple[str, str] = ("dp", "sp")):
+    """Validation twin of :func:`make_sp_pretrain_step` (no grads/update).
+
+    ``sample_weight`` (B,) zeroes padded tail rows, mirroring
+    :func:`pianobart_tpu.train.pretrain.pretrain_eval_step`.
+    """
+    assert cfg.ring_axis is not None, "set cfg.ring_axis (e.g. 'sp')"
+    from ..models.pianobart import PianoBartLM
+    model = PianoBartLM(cfg)
+    dp_axis, sp_axis = axes
+    n_tok = jnp.asarray(cfg.field_sizes, dtype=jnp.float32)
+
+    def local_eval(params, corrupted, dec_ids, targets, loss_mask,
+                   enc_mask, dec_mask):
+        fused = model.apply({"params": params}, corrupted, dec_ids,
+                            enc_mask, dec_mask, True)
+        nums, dens, hits = _local_ce_sums(fused, targets, loss_mask, cfg)
+        nums = jax.lax.psum(nums, (dp_axis, sp_axis))
+        dens = jax.lax.psum(dens, (dp_axis, sp_axis))
+        hits = jax.lax.psum(hits, (dp_axis, sp_axis))
+        per_field = jnp.where(dens > 0, nums / jnp.maximum(dens, 1.0), 0.0)
+        accs = jnp.where(dens > 0, hits / jnp.maximum(dens, 1.0), 0.0)
+        loss = (per_field * n_tok).sum() / n_tok.sum()
+        return loss, per_field, accs
+
+    sharded = jax.shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(P(), P(dp_axis, sp_axis, None), P(dp_axis, sp_axis, None),
+                  P(dp_axis, sp_axis, None), P(dp_axis, sp_axis, None),
+                  P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: jax.Array, rng: jax.Array,
+                  sample_weight: jax.Array):
+        rngc, _ = jax.random.split(rng)
+        corrupted, loss_mask = corrupt_batch(rngc, batch, mask_percent)
+        loss_mask = loss_mask * sample_weight[:, None, None]
+        dec_ids = shift_right(batch, _SOS_ROW)
+        enc_mask = (corrupted[..., 0] != _BAR_PAD).astype(jnp.float32)
+        dec_mask = (dec_ids[..., 0] != _BAR_PAD).astype(jnp.float32)
+        loss, per_field, accs = sharded(
+            state.params, corrupted, dec_ids, batch, loss_mask,
+            enc_mask, dec_mask)
+        return {"loss": loss, "field_loss": per_field, "field_acc": accs,
+                "weighted_acc": (accs * n_tok).sum() / n_tok.sum()}
+
+    return eval_step

@@ -36,7 +36,15 @@ class PretrainRunner:
                  mask_percent: float = 0.15, patience: int = 30,
                  seed: int = 2023, put_batch: Callable = jnp.asarray,
                  steps_per_dispatch: int = 8,
-                 checkpoint_every_dispatches: int = 0):
+                 checkpoint_every_dispatches: int = 0,
+                 train_step_fn: Optional[Callable] = None,
+                 eval_step_fn: Optional[Callable] = None):
+        # Custom step fns override the dense multi-step path (used by the
+        # sequence-parallel trainer, train/pretrain_sp.py):
+        #   train_step_fn(state, batch, rng) -> (state, metrics)
+        #   eval_step_fn(state, batch, rng, sample_weight) -> metrics
+        self.train_step_fn = train_step_fn
+        self.eval_step_fn = eval_step_fn
         self.state = state
         self.cfg = cfg
         self.train_data = train_data
@@ -77,9 +85,19 @@ class PretrainRunner:
             if not group:
                 return
             stacked = np.stack(group)
-            self.state, (ls, ac) = pretrain_multi_step(
-                self.state, self.put_batch(stacked), self.rng, self.cfg,
-                self.mask_percent, len(group))
+            if self.train_step_fn is not None:
+                ls_l, ac_l = [], []
+                for b in group:
+                    self.state, m = self.train_step_fn(
+                        self.state, self.put_batch(np.asarray(b)), self.rng)
+                    ls_l.append(jnp.reshape(m["loss"], (1,)))
+                    ac_l.append(m["field_acc"][None])
+                ls = jnp.concatenate(ls_l)
+                ac = jnp.concatenate(ac_l)
+            else:
+                self.state, (ls, ac) = pretrain_multi_step(
+                    self.state, self.put_batch(stacked), self.rng, self.cfg,
+                    self.mask_percent, len(group))
             losses.append(ls)
             accs.append(ac)
             tokens += stacked.shape[0] * stacked.shape[1] * stacked.shape[2]
@@ -112,9 +130,13 @@ class PretrainRunner:
         for batch, w in batch_iterator(self.valid_data, self.batch_size,
                                        self.np_rng, shuffle=False,
                                        drop_last=False):
-            m = pretrain_eval_step(self.state, self.put_batch(batch),
-                                   self.rng, jnp.asarray(w), self.cfg,
-                                   self.mask_percent)
+            if self.eval_step_fn is not None:
+                m = self.eval_step_fn(self.state, self.put_batch(batch),
+                                      self.rng, jnp.asarray(w))
+            else:
+                m = pretrain_eval_step(self.state, self.put_batch(batch),
+                                       self.rng, jnp.asarray(w), self.cfg,
+                                       self.mask_percent)
             losses.append(m["loss"])
             accs.append(m["field_acc"])
         return {"loss": _to_float(jnp.stack(losses).mean()) if losses else 0.0,
@@ -194,15 +216,24 @@ class SupervisedRunner:
         outputs = []
         n = len(X)
         idx = self.np_rng.permutation(n) if train else np.arange(n)
-        stop = (n // self.batch_size) * self.batch_size
-        if stop == 0 and n:
-            stop = n  # tiny datasets: single short batch
-        for i in range(0, stop, self.batch_size):
+        # Every sample of the split is seen exactly once: the trailing short
+        # batch is padded to one compiled shape with a zero sample-weight
+        # (the reference's torch DataLoader keeps tail batches,
+        # main.py:31-36; round 1 silently dropped up to batch_size-1
+        # samples from every metric).
+        for i in range(0, n, self.batch_size):
             sel = idx[i:i + self.batch_size]
+            real = len(sel)
+            weight = None
+            if real < self.batch_size:
+                pad = self.batch_size - real
+                weight = jnp.asarray(np.concatenate(
+                    [np.ones(real, np.float32), np.zeros(pad, np.float32)]))
+                sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
             bx = jnp.asarray(np.asarray(X[sel]), dtype=jnp.int32)
             by = jnp.asarray(np.asarray(y[sel]))
             self.state, m = self.step_fn(self.state, bx, by, self.rng,
-                                         train=train)
+                                         train=train, weight=weight)
             losses.append(m["loss"])
             if "acc_num" in m:
                 acc_num += _to_float(m["acc_num"])
@@ -210,11 +241,16 @@ class SupervisedRunner:
             if "field_acc" in m:
                 field_accs.append(m["field_acc"])
             if self.eval_hook is not None and not train:
-                extras.append(self.eval_hook(np.asarray(bx), np.asarray(by), m))
+                hm = dict(m)
+                for k in ("outputs", "attn_dec", "pred"):
+                    if k in hm:
+                        hm[k] = np.asarray(hm[k])[:real]
+                extras.append(self.eval_hook(np.asarray(bx)[:real],
+                                             np.asarray(by)[:real], hm))
             if collect_outputs:
                 key = "pred" if "pred" in m else "outputs"
                 if key in m:
-                    outputs.append(np.asarray(m[key]))
+                    outputs.append(np.asarray(m[key])[:real])
         out: Dict[str, Any] = {
             "loss": _to_float(jnp.stack(losses).mean()) if losses else 0.0}
         if acc_den:

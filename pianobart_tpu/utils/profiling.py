@@ -27,12 +27,20 @@ __all__ = ["trace", "StepTimer", "block"]
 
 @contextlib.contextmanager
 def trace(log_dir: str, with_memory: bool = True) -> Iterator[None]:
-    """Capture a jax.profiler trace (view with TensorBoard / xprof)."""
+    """Capture a jax.profiler trace (view with TensorBoard / xprof).
+
+    ``with_memory`` additionally dumps a device-memory profile
+    (``memory.prof``, pprof format) into ``log_dir`` when the trace ends.
+    """
     jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
         jax.profiler.stop_trace()
+        if with_memory:
+            import os
+            jax.profiler.save_device_memory_profile(
+                os.path.join(log_dir, "memory.prof"))
 
 
 def block(tree) -> None:

@@ -42,9 +42,19 @@ def test_cli_pretrain_end_to_end(tmp_path, rng, monkeypatch):
     assert main(["pretrain", "--dataroot", "Data/output_pretrain",
                  "--datasets", "songs", "--batch_size", "2", "--epochs", "1",
                  "--hs", "64", "--layers", "1", "--ffn_dims", "64",
-                 "--heads", "4", "--dtype", "f32", "--name", "smoke"]) == 0
+                 "--heads", "4", "--dtype", "f32", "--name", "smoke",
+                 "--mesh", "2x1x1"]) == 0
     assert os.path.exists("result/pretrain/smoke/log")
     assert os.path.exists("result/pretrain/smoke/best")
+
+    # batch not divisible by the device count and no explicit --mesh: the
+    # CLI must refuse with guidance instead of silently idling 7 devices
+    import pytest
+    with pytest.raises(SystemExit, match="divisible"):
+        main(["pretrain", "--dataroot", "Data/output_pretrain",
+              "--datasets", "songs", "--batch_size", "2", "--epochs", "1",
+              "--hs", "64", "--layers", "1", "--ffn_dims", "64",
+              "--heads", "4", "--dtype", "f32", "--name", "smoke2"])
 
 
 def test_cli_pretrain_on_virtual_mesh(tmp_path, rng, monkeypatch):
@@ -66,3 +76,34 @@ def test_cli_pretrain_on_virtual_mesh(tmp_path, rng, monkeypatch):
                  "--heads", "4", "--dtype", "f32", "--name", "meshsmoke",
                  "--mesh", "4x2x1"]) == 0
     assert os.path.exists("result/pretrain/meshsmoke/best")
+
+
+def test_cli_sequence_parallel_pretrain_end_to_end(tmp_path, rng, monkeypatch):
+    """Long-context training is a USER-FACING feature now: tokenize with
+    --max_seq_len 2048 --no_pad, then `pretrain --mesh 2x1x4` routes through
+    the ring-attention sequence-parallel step on the virtual mesh."""
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("songs")
+    for i in range(6):
+        make_song(rng, n_notes=400).dump(f"songs/s{i}.mid")
+    assert main(["tokenize", "--dataset", "songs", "--task", "pretrain",
+                 "--no_pad", "--max_seq_len", "2048"]) == 0
+    arr = np.load("Data/output_pretrain/songs/songs_train_split.npy")
+    assert arr.shape[1:] == (2048, 8)
+
+    assert main(["pretrain", "--dataroot", "Data/output_pretrain",
+                 "--datasets", "songs", "--batch_size", "4", "--epochs", "1",
+                 "--hs", "64", "--layers", "1", "--ffn_dims", "64",
+                 "--heads", "4", "--dtype", "f32", "--name", "spsmoke",
+                 "--max_seq_len", "2048", "--mesh", "2x1x4"]) == 0
+    assert os.path.exists("result/pretrain/spsmoke/best")
+    log = open("result/pretrain/spsmoke/log").read()
+    assert "Epoch 1" in log
+
+    # window/config mismatch must fail fast with guidance
+    with pytest.raises(SystemExit, match="max_seq_len"):
+        main(["pretrain", "--dataroot", "Data/output_pretrain",
+              "--datasets", "songs", "--batch_size", "4", "--epochs", "1",
+              "--hs", "64", "--layers", "1", "--ffn_dims", "64",
+              "--heads", "4", "--dtype", "f32", "--name", "spbad",
+              "--max_seq_len", "1024", "--mesh", "2x1x4"])

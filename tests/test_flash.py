@@ -63,6 +63,30 @@ def test_gradients_match_xla(causal):
                                    err_msg=f"d{name} mismatch (causal={causal})")
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_backward_matches_xla(causal):
+    """Default blocks at S=256 resolve to one block per grid step, which
+    routes through the single fused dq/dk/dv backward kernel."""
+    from pianobart_tpu.ops.flash import _fused_eligible
+    assert _fused_eligible(S, S, None, None)
+    q, k, v, mask = setup(seed=5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask, causal)   # default blocks
+        return (o * jnp.cos(o)).sum()
+
+    def loss_ref(q, k, v):
+        o = ref(q, k, v, mask, causal)
+        return (o * jnp.cos(o)).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"d{name} mismatch (causal={causal})")
+
+
 def test_cross_attention_rectangular():
     # decoder->encoder cross attention with Skv != Sq
     q, k, v, mask = setup(seed=2, Skv=384)
