@@ -127,6 +127,24 @@ def main() -> None:
     except Exception as exc:  # keep the primary metric robust
         print(f"decode bench failed: {exc}", file=sys.stderr)
 
+    # Batched generation throughput (the reference is hard-limited to
+    # batch-1 decoding, model.py:29-31): full-length continuations/sec at
+    # B=16 through the same KV-cached loop.
+    decode_cps = None
+    try:
+        from pianobart_tpu.decode import generate
+        introB = jnp.asarray(batch[:16])
+        params = {"params": state.params}
+        out = generate(params, introB, cfg=cfg, max_steps=S, force_full=True)
+        _ = np.asarray(out).sum()
+        t0 = time.perf_counter()
+        out = generate(params, introB, rng=jax.random.PRNGKey(2), cfg=cfg,
+                       max_steps=S, force_full=True)
+        _ = np.asarray(out).sum()
+        decode_cps = 16 / (time.perf_counter() - t0)
+    except Exception as exc:
+        print(f"batched decode bench failed: {exc}", file=sys.stderr)
+
     mfu = None
     if flops_per_step is not None:
         peak = PEAK_BF16.get(dev.device_kind)
@@ -139,6 +157,8 @@ def main() -> None:
         "unit": f"tok/s ({platform}, bf16, batch {B}, step {step_ms:.1f} ms"
                 + (f", MFU {mfu * 100:.1f}%" if mfu else "")
                 + (f", decode1024 {decode_s:.2f} s" if decode_s else "")
+                + (f", decode_b16 {decode_cps:.1f} cont/s" if decode_cps
+                   else "")
                 + ")",
         "vs_baseline": round(toks_per_sec / A100_BASELINE_TOKS, 2),
     }))

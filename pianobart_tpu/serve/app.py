@@ -70,15 +70,42 @@ def _parse_multipart_file(environ, field: str) -> Tuple[str, bytes]:
     raise ValueError("no file")
 
 
+class _Pending:
+    """One queued generation request."""
+
+    __slots__ = ("intro", "seed", "event", "result", "error")
+
+    def __init__(self, intro, seed):
+        self.intro = intro
+        self.seed = seed
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
 class GenerationService:
-    """Holds the jitted model + params, loaded lazily, reused across calls."""
+    """Holds the jitted model + params, loaded lazily, reused across calls.
+
+    Concurrent requests are MICRO-BATCHED: a worker thread drains the
+    request queue into one batched KV-cached decode (the reference is
+    hard-limited to batch-1 single-request generation, model.py:29-31).
+    Batch sizes are bucketed to powers of two so at most
+    ``log2(max_batch)+1`` decode shapes ever compile.
+    """
 
     def __init__(self, ckpt: Optional[str] = None,
-                 generate_fn: Optional[Callable] = None):
+                 generate_fn: Optional[Callable] = None,
+                 max_batch: int = 8, batch_window_s: float = 0.02):
         self.ckpt = ckpt
         self._ready = False
         self._lock = threading.Lock()
         self._generate_fn = generate_fn  # injectable for tests
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self._cond = threading.Condition()
+        self._queue: list = []
+        self._worker: Optional[threading.Thread] = None
+        self.batch_sizes_served: list = []  # observability / tests
 
     def _ensure(self):
         if self._ready or self._generate_fn is not None:
@@ -121,15 +148,76 @@ class GenerationService:
         if self._generate_fn is not None:
             return self._generate_fn(midi_in, midi_out, seed)
         self._ensure()
+        import numpy as np
+        from .demo import midi_to_window, window_to_midi
+        intro = np.asarray(midi_to_window(midi_in, self.cfg.max_len))[0]
+        out = self.submit(intro, seed)
+        return window_to_midi(np.asarray(out), midi_out)
+
+    # -- micro-batching queue -------------------------------------------------
+
+    def submit(self, intro_window, seed: int = 0):
+        """Enqueue one (S, 8) intro; blocks until its continuation is ready.
+
+        Thread-safe; concurrent submitters are served by ONE batched decode.
+        Note: outputs are sampled from a batch-level rng stream, so
+        per-request seed reproducibility holds only for a batch of one.
+        """
+        req = _Pending(intro_window, seed)
+        with self._cond:
+            self._queue.append(req)
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(target=self._worker_loop,
+                                                daemon=True)
+                self._worker.start()
+            self._cond.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _decode_batch(self, intros, seeds):
+        """(B, S, 8) intros -> (B, S, 8) continuations (one device dispatch)."""
         import jax
-        import jax.numpy as jnp
         import numpy as np
         from ..decode import generate as gen
-        from .demo import midi_to_window, window_to_midi
-        intro = jnp.asarray(midi_to_window(midi_in, self.cfg.max_len))
-        out = gen(self.params, intro, rng=jax.random.PRNGKey(seed),
-                  cfg=self.cfg)
-        return window_to_midi(np.asarray(out[0]), midi_out)
+        rng = jax.random.PRNGKey(int(seeds[0]))
+        for s in seeds[1:]:
+            rng = jax.random.fold_in(rng, int(s))
+        out = gen(self.params, intros, rng=rng, cfg=self.cfg)
+        return np.asarray(out)
+
+    def _worker_loop(self):
+        import numpy as np
+        while True:
+            with self._cond:
+                while not self._queue:
+                    self._cond.wait()
+            # small gathering window lets concurrent requests coalesce
+            time.sleep(self.batch_window_s)
+            with self._cond:
+                batch = self._queue[: self.max_batch]
+                del self._queue[: len(batch)]
+            if not batch:
+                continue
+            try:
+                n = len(batch)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2  # {1,2,4,8}: bounded set of compiled shapes
+                intros = np.stack([r.intro for r in batch]
+                                  + [batch[-1].intro] * (bucket - n))
+                seeds = [r.seed for r in batch]
+                outs = self._decode_batch(intros, seeds)
+                self.batch_sizes_served.append(n)
+                for r, o in zip(batch, outs[:n]):
+                    r.result = o
+            except BaseException as exc:  # deliver, don't kill the worker
+                for r in batch:
+                    r.error = exc
+            finally:
+                for r in batch:
+                    r.event.set()
 
 
 class App:

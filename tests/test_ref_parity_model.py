@@ -66,7 +66,7 @@ def rand_batch(e2w, B=2, S=32, seed=0):
               'Velocity', 'TimeSig', 'Tempo']]
     ids = np.stack([rng.integers(0, s, size=(B, S)) for s in sizes], axis=-1)
     mask = np.ones((B, S), dtype=np.float32)
-    mask[1, S - 5:] = 0.0
+    mask[-1, S - 5:] = 0.0
     return ids, mask
 
 
@@ -319,3 +319,47 @@ def test_sampler_distribution_matches_reference(ref_modules):
     # same support and close probabilities
     assert set(np.nonzero(ours)[0]) == set(np.nonzero(theirs)[0])
     np.testing.assert_allclose(ours, theirs, atol=0.04)
+
+
+@torch.no_grad()
+def test_flagship_shape_lm_parity(ref_modules):
+    """FULL PianoBART shape (d_model 1024, 8+8 layers, ffn 2048, heads 8,
+    S 1024 — main.py:39-47): reference torch model -> import -> identical
+    logits.  This is the shape of the published PianoBART_Giant checkpoint;
+    the small-config tests alone don't prove the import shim at scale
+    (round-1 verdict item 4).  Slow on CPU (~2 min) by design.
+    """
+    ref_pb, ref_model, e2w, w2e = ref_modules
+    from transformers import BartConfig
+    from pianobart_tpu.compat.torch_import import import_lm
+    from pianobart_tpu.models import PianoBartConfig, PianoBartLM
+
+    theirs_cfg = BartConfig(max_position_embeddings=1024, d_model=1024,
+                            encoder_layers=8, decoder_layers=8,
+                            encoder_ffn_dim=2048, decoder_ffn_dim=2048,
+                            encoder_attention_heads=8,
+                            decoder_attention_heads=8)
+    ours_cfg = PianoBartConfig(dropout=0.0, use_flash_attention=False)
+    torch.manual_seed(42)
+    theirs = ref_model.PianoBartLM(
+        ref_pb.PianoBart(theirs_cfg, e2w, w2e)).eval()
+
+    ids, mask = rand_batch(e2w, B=1, S=1024, seed=21)
+    dec_ids, _ = rand_batch(e2w, B=1, S=1024, seed=22)
+    t_out = theirs(torch.tensor(ids), torch.tensor(dec_ids),
+                   torch.tensor(mask), torch.tensor(mask))
+
+    sd = {k: v.numpy() for k, v in theirs.state_dict().items()}
+    params = import_lm(sd, ours_cfg)
+    model = PianoBartLM(ours_cfg)
+    fused = model.apply({"params": params}, jnp.asarray(ids),
+                        jnp.asarray(dec_ids), jnp.asarray(mask),
+                        jnp.asarray(mask))
+    ours_fields = model.apply({"params": params}, fused,
+                              method=PianoBartLM.logits_per_field)
+    for i in range(8):
+        a = t_out[i].numpy()
+        b = np.asarray(ours_fields[i])
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"field {i} logits diverge at "
+                                           f"flagship shape")

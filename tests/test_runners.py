@@ -35,8 +35,9 @@ def test_seq_classification_runner(rng, tmp_path):
         (jnp.zeros((2, S, 8), jnp.int32), jnp.ones((2, S))),
         learning_rate=1e-3)
 
-    def step_fn(state, bx, by, rng_, train=True):
-        return finetune_seq_step(state, bx, by, rng_, cfg=cfg, train=train)
+    def step_fn(state, bx, by, rng_, train=True, weight=None):
+        return finetune_seq_step(state, bx, by, rng_, cfg=cfg, train=train,
+                                 weight=weight)
 
     data = (X[:8], X[8:10], X[10:], y[:8], y[8:10], y[10:])
     runner = SupervisedRunner(state, cfg, step_fn, data, str(tmp_path / "r"),
@@ -59,9 +60,9 @@ def test_token_classification_velocity_runner(rng, tmp_path):
          jnp.ones((2, S)), jnp.ones((2, S))),
         learning_rate=1e-3)
 
-    def step_fn(state, bx, by, rng_, train=True):
+    def step_fn(state, bx, by, rng_, train=True, weight=None):
         return finetune_token_step(state, bx, by, rng_, cfg=cfg,
-                                   velocity=True, train=train)
+                                   velocity=True, train=train, weight=weight)
 
     data = (X[:4], X[4:6], X[6:], y[:4], y[4:6], y[6:])
     runner = SupervisedRunner(state, cfg, step_fn, data, str(tmp_path / "v"),
@@ -81,8 +82,9 @@ def test_generation_runner_with_fad(rng, tmp_path):
     state = create_train_state(model, cfg, key, (ids, ids, m, m),
                                learning_rate=1e-3)
 
-    def step_fn(state, bx, by, rng_, train=True):
-        return generation_step(state, bx, by, rng_, cfg=cfg, train=train)
+    def step_fn(state, bx, by, rng_, train=True, weight=None):
+        return generation_step(state, bx, by, rng_, cfg=cfg, train=train,
+                               weight=weight)
 
     from pianobart_tpu.utils.fad import generation_fad
 

@@ -94,3 +94,62 @@ def test_generate_missing_file(app):
 def test_unknown_routes(app):
     assert wsgi_call(app, "GET", "/api/secrets/passwd")[0] == "404 Not Found"
     assert wsgi_call(app, "GET", "/nope")[0] == "404 Not Found"
+
+
+def test_generation_service_micro_batching():
+    """Concurrent submits are coalesced into ONE batched decode (the
+    reference serves strictly batch-1, model.py:29-31)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from pianobart_tpu.serve.app import GenerationService
+
+    svc = GenerationService(max_batch=8, batch_window_s=0.05)
+    calls = []
+
+    def fake_decode(intros, seeds):
+        calls.append(len(seeds))
+        _time.sleep(0.01)
+        return intros + 1  # identifiable per-request output
+
+    svc._decode_batch = fake_decode
+
+    n = 6
+    results = [None] * n
+    def worker(i):
+        intro = np.full((16, 8), i, dtype=np.int32)
+        results[i] = svc.submit(intro, seed=i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for i in range(n):
+        assert results[i] is not None
+        np.testing.assert_array_equal(results[i], np.full((16, 8), i + 1))
+    # the queue actually batched: fewer decode calls than requests
+    assert sum(svc.batch_sizes_served) == n
+    assert max(svc.batch_sizes_served) > 1
+
+
+def test_generation_service_error_propagates():
+    import numpy as np
+    import pytest
+
+    from pianobart_tpu.serve.app import GenerationService
+
+    svc = GenerationService(batch_window_s=0.0)
+
+    def boom(intros, seeds):
+        raise RuntimeError("decode failed")
+
+    svc._decode_batch = boom
+    with pytest.raises(RuntimeError, match="decode failed"):
+        svc.submit(np.zeros((4, 8), np.int32))
+    # worker survives a failing batch and serves the next one
+    svc._decode_batch = lambda intros, seeds: intros
+    out = svc.submit(np.ones((4, 8), np.int32))
+    np.testing.assert_array_equal(out, np.ones((4, 8), np.int32))
