@@ -273,7 +273,8 @@ def cmd_finetune_generation(args) -> int:
         if not args.fad:
             return {}
         fad, fad_bar = generation_fad(by, np.asarray(metrics["outputs"]),
-                                      np.asarray(metrics["attn_dec"]))
+                                      np.asarray(metrics["attn_dec"]),
+                                      jit_windows=args.fad_jit)
         return {"fad": fad, "fad_bar": fad_bar}
 
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
@@ -490,6 +491,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="intro")
     sg.add_argument("--fad", action="store_true",
                     help="compute FAD metrics during eval epochs")
+    sg.add_argument("--fad_jit", action="store_true",
+                    help="window FAD in ONE jitted device call per batch "
+                         "instead of the host per-sample loop")
     _add_model_flags(sg)
     _add_train_flags(sg)
     sg.set_defaults(fn=cmd_finetune_generation, batch_size=8, lr=2e-6)

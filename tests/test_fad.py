@@ -78,3 +78,22 @@ def test_jax_fad_matches_numpy():
     a = shape_similarity_batch(y1, y2)
     b = np.round(np.asarray(shape_similarity_batch_jax(y1, y2)), 4)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_generation_fad_jit_windows_matches_host(rng):
+    """generation_fad(jit_windows=True) == host loop (one device call)."""
+    import numpy as np
+    from pianobart_tpu.utils.fad import generation_fad
+
+    B, S = 3, 97
+    y = np.zeros((B, S, 8), dtype=np.int64)
+    out = np.zeros_like(y)
+    y[..., 3] = rng.integers(0, 120, (B, S))
+    out[..., 3] = rng.integers(0, 120, (B, S))
+    y[..., 0] = np.sort(rng.integers(0, 6, (B, S)), axis=1)
+    attn = np.ones((B, S))
+    attn[1, 60:] = 0
+    a = generation_fad(y, out, attn, jit_windows=False)
+    b = generation_fad(y, out, attn, jit_windows=True)
+    assert a[0] == pytest.approx(b[0], rel=1e-4)
+    assert a[1] == pytest.approx(b[1], rel=1e-12)
