@@ -10,12 +10,15 @@ Also measures batch-1 KV-cached continuation decode latency for a
 1024-token intro (secondary target: < 2 s).
 
 Baseline note: the reference publishes no numbers (SURVEY §6).
-``A100_BASELINE_TOKS`` is a documented engineering estimate of the
-reference stack's throughput on one A100: the torch model is ~17 TFLOP/step
-at batch 16 (6·170M·16·1024), but the shipped trainer corrupts every sample in
-host Python (pretrain.py:131-144) and syncs argmax to host numpy every step
-(pretrain.py:164-168), capping it well below compute bound.  We use
-18_000 tok/s; vs_baseline is measured/value against that estimate.
+``A100_BASELINE_TOKS`` is DERIVED in scripts/baseline_estimate.py (full
+write-up in BASELINE.md): the shipped trainer is FP32 (no amp anywhere;
+torch 2.0.1 defaults matmul TF32 OFF), so one A100 sustains ~21.6 TFLOP of
+step compute at ~16.6 TF/s FP32 -> 1.31 s, strictly serialized with
+109 ms/batch of host-Python corruption (measured by executing the
+unmodified ``Pretrainer.gen_mask``/shift loop, pretrain.py:131-144), a
+20 ms host argmax and an 84 MB logits D2H copy (pretrain.py:164-168)
+-> 1.48 s/step = 11,090 tok/s/chip.  Round 1's hand-waved 18k estimate
+was ~60% generous to the reference; both appear in BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -27,7 +30,7 @@ import time
 
 import numpy as np
 
-A100_BASELINE_TOKS = 18_000.0
+A100_BASELINE_TOKS = 11_090.0
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeat bench/driver runs skip the

@@ -3,10 +3,12 @@
 ``flax.linen.Dropout`` draws a float32 uniform per element
 (``jax.random.bernoulli``: 32 random bits + bitcast + float compare).  Mask
 generation is the dominant cost of dropout on TPU for this model — 42
-(B, S, d_model) masks per train step — so we draw **uint16 lanes** instead
-and compare against an integer threshold: half the generated entropy and no
-float conversion, identical keep probability up to 2^-16 quantization
-(rate 0.1 becomes 0.1000061).
+(B, S, d_model) masks per train step, ~31 ms measured at B=32 even with
+the fast rbg generator — so we draw **uint8 lanes** instead and compare
+against an integer threshold: a quarter of the generated entropy and no
+float conversion.  Keep probability is quantized to 2^-8 (rate 0.1 becomes
+26/256 = 0.1016); the 1/(1-p) rescale uses the ACTUAL quantized rate, so
+activations stay exactly unbiased.
 
 The reference trains with the torch/HF default dropout semantics
 (``transformers`` Bart, ``PianoBart.py:23``); eval numerics are unaffected
@@ -33,8 +35,8 @@ class Dropout(nn.Module):
         if self.rate == 1.0:
             return jnp.zeros_like(x)
         rng = self.make_rng("dropout")
-        # P(bits < thresh) = thresh / 2^16 = drop probability
-        thresh = jnp.uint16(int(round(self.rate * 65536.0)))
-        bits = jax.random.bits(rng, x.shape, dtype=jnp.uint16)
-        scale = jnp.asarray(1.0 / (1.0 - self.rate), x.dtype)
-        return jnp.where(bits >= thresh, x * scale, jnp.zeros_like(x))
+        # P(bits < thresh) = thresh / 2^8 = actual drop probability
+        t = int(round(self.rate * 256.0))
+        bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+        scale = jnp.asarray(256.0 / (256.0 - t), x.dtype)
+        return jnp.where(bits >= jnp.uint8(t), x * scale, jnp.zeros_like(x))

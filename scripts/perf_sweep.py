@@ -21,6 +21,7 @@ VARIANTS = {
     "b32":        dict(B=32),
     "b32_nodrop": dict(B=32, dropout=0.0),
     "b32_remat":  dict(B=32, remat=True),
+    "b48":        dict(B=48),
     "b64":        dict(B=64),
     "b64_nodrop": dict(B=64, dropout=0.0),
     "b64_remat":  dict(B=64, remat=True),

@@ -1,0 +1,162 @@
+"""Real-data end-to-end run: corpus -> tokenize -> pretrain -> finetune ->
+generate, all through the public CLI, on the attached TPU; writes RESULTS.md.
+
+The environment has no network egress (the reference's POP909/EMOPIA/... zips
+are unreachable), so the corpus is scripts/make_corpus.py's realistic fallback
+(public-domain repertoire + styled procedural composers + real-world
+messiness).  Everything else is exactly the user workflow from README.md.
+
+Usage: python scripts/real_data_e2e.py [workdir] [--steps N]
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def sh(args, cwd, env=None):
+    print(f"+ {' '.join(args)}", flush=True)
+    e = dict(os.environ)
+    e["PYTHONPATH"] = REPO + ":" + e.get("PYTHONPATH", "")
+    if env:
+        e.update(env)
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-m", "pianobart_tpu.cli"] + args,
+                       cwd=cwd, env=e, capture_output=True, text=True)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        raise SystemExit(f"command failed: {args}")
+    return r.stdout, dt
+
+
+def read_epochs(path):
+    out = []
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("event") == "epoch":
+                out.append(rec)
+    return out
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pbx_real_e2e"
+    epochs_pre = int(os.environ.get("PBX_E2E_PRETRAIN_EPOCHS", "12"))
+    epochs_ft = int(os.environ.get("PBX_E2E_FINETUNE_EPOCHS", "6"))
+    os.makedirs(work, exist_ok=True)
+
+    from scripts.make_corpus import make_corpus
+    corpus = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus):
+        make_corpus(corpus, n_files=400, seed=2024)
+
+    # 1. tokenize: pretrain stream + composer + emotion labels
+    t_tok0 = time.time()
+    sh(["tokenize", "--dataset", corpus, "--task", "pretrain", "--no_pad"],
+       cwd=work)
+    sh(["tokenize", "--dataset", corpus, "--task", "composer"], cwd=work)
+    sh(["tokenize", "--dataset", corpus, "--task", "emotion"], cwd=work)
+    tok_s = time.time() - t_tok0
+
+    import numpy as np
+    tr = np.load(os.path.join(work, "Data/output_pretrain/corpus/"
+                              "corpus_train_split.npy"))
+    n_windows = tr.shape[0]
+
+    # 2. flagship pretrain on the TPU
+    _, pre_s = sh(["pretrain", "--dataroot", "Data/output_pretrain",
+                   "--datasets", "corpus", "--batch_size", "16",
+                   "--epochs", str(epochs_pre), "--name", "realdata",
+                   "--mesh", "1x1x1"], cwd=work)
+    pre = read_epochs(os.path.join(work, "result/pretrain/realdata/"
+                                   "metrics.jsonl"))
+
+    # 3. composer finetune from the pretrain checkpoint
+    _, ft_s = sh(["finetune", "--task", "composer", "--dataset", "corpus",
+                  "--dataroot", "Data/output_composer/corpus",
+                  "--epochs", str(epochs_ft), "--batch_size", "8",
+                  "--name", "realdata", "--mesh", "1x1x1",
+                  "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    ft = read_epochs(os.path.join(
+        work, "result/finetune/composer_realdata/metrics.jsonl"))
+
+    # 4. demo continuation from a real corpus file with the trained ckpt
+    some_midi = None
+    for root, _, files in os.walk(corpus):
+        for f in sorted(files):
+            if f.endswith(".mid") and "Broken" not in root:
+                some_midi = os.path.join(root, f)
+                break
+        if some_midi:
+            break
+    demo_out = os.path.join(work, "continuation.mid")
+    _, demo_s = sh(["demo", "--input", some_midi, "--output", demo_out,
+                    "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+
+    # ---- RESULTS.md ----
+    lines = [
+        "# Real-data end-to-end results (round 2)",
+        "",
+        "No network egress: POP909/Pianist8/EMOPIA are unreachable, so the",
+        "corpus is `scripts/make_corpus.py` — programmatic public-domain",
+        "repertoire (BWV 846, Canon in D, Ode to Joy, Fuer Elise) plus six",
+        "styled procedural composers with real-world messiness (tempo/",
+        "time-signature changes, >255-bar pieces, overlapping and",
+        "zero-length notes, duplicates, truncated files).  Every step below",
+        "ran through the public CLI on the attached TPU v5e.",
+        "",
+        f"- corpus: 400 files -> tokenize (pretrain+composer+emotion) in "
+        f"{tok_s:.0f}s; {n_windows} x1024 pretrain windows",
+        f"- pretrain: flagship model, batch 16, {epochs_pre} epochs "
+        f"({pre_s:.0f}s wall incl. compile)",
+        f"- finetune composer: {epochs_ft} epochs from the pretrain best "
+        f"checkpoint ({ft_s:.0f}s wall)",
+        f"- demo continuation from `{os.path.relpath(some_midi, work)}` "
+        f"-> continuation.mid ({demo_s:.0f}s incl. compile)",
+        "",
+        "## Pretrain curve (vocab-weighted)",
+        "",
+        "| epoch | train loss | valid loss | weighted acc | tok/s |",
+        "|---|---|---|---|---|",
+    ]
+    for rec in pre:
+        lines.append(
+            f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+            f"| {rec['valid']['loss']:.4f} | {rec['weighted_acc']:.4f} "
+            f"| {rec['train'].get('tokens_per_sec', 0):.0f} |")
+    lines += [
+        "",
+        "## Composer finetune (8-way classification)",
+        "",
+        "| epoch | train loss | valid acc | test acc |",
+        "|---|---|---|---|",
+    ]
+    for rec in ft:
+        lines.append(
+            f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+            f"| {rec['valid'].get('acc', float('nan')):.4f} "
+            f"| {rec['test'].get('acc', float('nan')):.4f} |")
+    first, last = pre[0], pre[-1]
+    lines += [
+        "",
+        f"Pretrain loss {first['train']['loss']:.3f} -> "
+        f"{last['train']['loss']:.3f}; weighted masked acc "
+        f"{first['weighted_acc']:.3f} -> {last['weighted_acc']:.3f}.",
+        "",
+    ]
+    out = os.path.join(REPO, "RESULTS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

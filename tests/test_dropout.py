@@ -22,13 +22,14 @@ def test_deterministic_and_zero_rate_are_identity():
 
 def test_drop_rate_and_scale():
     rate = 0.1
+    q_rate = round(rate * 256) / 256.0  # actual (quantized) drop rate
     x = jnp.ones((512, 512))
     y = np.asarray(_apply(rate, x, False, seed=3))
     kept = y != 0.0
     # empirical keep rate within 1% of nominal
     assert abs(kept.mean() - (1 - rate)) < 0.01
-    # surviving elements are scaled by 1/(1-rate)
-    np.testing.assert_allclose(y[kept], 1.0 / (1.0 - rate), rtol=1e-6)
+    # surviving elements are scaled by the actual quantized keep rate
+    np.testing.assert_allclose(y[kept], 1.0 / (1.0 - q_rate), rtol=1e-6)
 
 
 def test_unbiased_expectation():

@@ -60,7 +60,8 @@ def test_health(app):
 def test_index_page(app):
     status, headers, body = wsgi_call(app, "GET", "/")
     assert status == "200 OK"
-    assert b"pianobart_tpu" in body
+    assert b"PianoBART" in body
+    assert b"/api/upload" in body and b"/api/generate/" in body
 
 
 def test_upload_generate_download_roundtrip(app, rng):
