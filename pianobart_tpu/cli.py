@@ -450,8 +450,10 @@ def cmd_check(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from .serve.app import create_app
-    create_app(ckpt=args.ckpt).run(host=args.host, port=args.port)
+    from .serve.app import App, GenerationService
+    service = GenerationService(ckpt=args.ckpt, max_batch=args.max_batch,
+                                batch_window_s=args.batch_window)
+    App(service, args.ckpt).run(host=args.host, port=args.port)
     return 0
 
 
@@ -603,6 +605,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--ckpt", default=None)
     sv.add_argument("--host", default="0.0.0.0")
     sv.add_argument("--port", type=int, default=5000)
+    sv.add_argument("--max_batch", type=int, default=8,
+                    help="micro-batching: max concurrent requests per "
+                         "batched decode")
+    sv.add_argument("--batch_window", type=float, default=0.02,
+                    help="seconds to gather concurrent requests before "
+                         "dispatching a batch")
     sv.set_defaults(fn=cmd_serve)
     return p
 

@@ -311,8 +311,17 @@ class App:
                                 "latency_s": round(time.time() - t0, 3)})
 
     def run(self, host: str = "0.0.0.0", port: int = 5000) -> None:
-        from wsgiref.simple_server import make_server
-        with make_server(host, port, self) as srv:
+        # Threaded server: concurrent requests must overlap to reach the
+        # micro-batching queue together (wsgiref's default server is
+        # single-threaded, which would serialize them upstream).
+        import socketserver
+        from wsgiref.simple_server import WSGIServer, make_server
+
+        class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+            daemon_threads = True
+
+        with make_server(host, port, self,
+                         server_class=ThreadingWSGIServer) as srv:
             print(f"pianobart_tpu serving on http://{host}:{port}")
             srv.serve_forever()
 
