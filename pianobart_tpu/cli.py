@@ -226,6 +226,15 @@ def cmd_finetune(args) -> int:
         y = np.asarray(data[i])
         if y.ndim == 3 and y.shape[-1] == 1:
             data[i] = y.squeeze(-1)
+    # Fail fast on out-of-range labels: an out-of-bounds gather in the CE
+    # silently fills NaN under jit (torch would device-assert), poisoning
+    # the loss while accuracy still "works".
+    n_classes = class_num + (0 if seq else 1)
+    y_max = max(int(np.asarray(data[i]).max()) for i in range(3, 6))
+    if y_max >= n_classes:
+        raise SystemExit(
+            f"label id {y_max} out of range for --class_num {class_num} "
+            f"({n_classes} classes); pass --class_num {y_max + (1 if seq else 0)}")
     state, mesh = _init_state(model, cfg, args, args.lr)
     state = _load_init_ckpt(state, args, cfg, kind="trunk")
     save_dir = os.path.join("result", "finetune", f"{args.task}_{args.name}")

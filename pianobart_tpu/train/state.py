@@ -139,12 +139,19 @@ class CheckpointManager:
         """Load only model params (e.g. pretrain trunk into a finetune).
 
         Restores the raw checkpoint tree (no optimizer-state target needed)
-        and grafts matching subtrees onto ``params``.
+        and grafts matching subtrees onto ``params``.  Accepts either a
+        manager root (``.../name`` with ``meta.json`` + ``step_N``/``best``
+        subdirs) or a checkpoint payload directly (``.../name/best``,
+        ``.../name/step_7``) — users naturally pass both.
         """
-        meta = self._read_meta()
-        name = "best" if best and meta.get("best_step") is not None else \
-            f"step_{meta.get('last_step')}"
-        path = os.path.join(self.directory, name)
+        if os.path.exists(os.path.join(self.directory,
+                                       "_CHECKPOINT_METADATA")):
+            path = self.directory  # payload dir passed directly
+        else:
+            meta = self._read_meta()
+            name = "best" if best and meta.get("best_step") is not None \
+                else f"step_{meta.get('last_step')}"
+            path = os.path.join(self.directory, name)
         restored = self.ckptr.restore(path)["params"]
 
         def graft(template, saved):

@@ -60,10 +60,12 @@ def main():
 
     # 1. tokenize: pretrain stream + composer + emotion labels
     t_tok0 = time.time()
-    sh(["tokenize", "--dataset", corpus, "--task", "pretrain", "--no_pad"],
-       cwd=work)
-    sh(["tokenize", "--dataset", corpus, "--task", "composer"], cwd=work)
-    sh(["tokenize", "--dataset", corpus, "--task", "emotion"], cwd=work)
+    if not os.path.exists(os.path.join(
+            work, "Data/output_emotion/corpus/corpus_train.npy")):
+        sh(["tokenize", "--dataset", corpus, "--task", "pretrain",
+            "--no_pad"], cwd=work)
+        sh(["tokenize", "--dataset", corpus, "--task", "composer"], cwd=work)
+        sh(["tokenize", "--dataset", corpus, "--task", "emotion"], cwd=work)
     tok_s = time.time() - t_tok0
 
     import numpy as np
@@ -71,18 +73,25 @@ def main():
                               "corpus_train_split.npy"))
     n_windows = tr.shape[0]
 
-    # 2. flagship pretrain on the TPU
-    _, pre_s = sh(["pretrain", "--dataroot", "Data/output_pretrain",
-                   "--datasets", "corpus", "--batch_size", "16",
-                   "--epochs", str(epochs_pre), "--name", "realdata",
-                   "--mesh", "1x1x1"], cwd=work)
-    pre = read_epochs(os.path.join(work, "result/pretrain/realdata/"
-                                   "metrics.jsonl"))
+    # 2. flagship pretrain on the TPU (skipped if already complete)
+    pre_jsonl = os.path.join(work, "result/pretrain/realdata/metrics.jsonl")
+    pre_s = 0.0
+    if not (os.path.exists(pre_jsonl)
+            and len(read_epochs(pre_jsonl)) >= epochs_pre):
+        _, pre_s = sh(["pretrain", "--dataroot", "Data/output_pretrain",
+                       "--datasets", "corpus", "--batch_size", "16",
+                       "--epochs", str(epochs_pre), "--name", "realdata",
+                       "--mesh", "1x1x1"], cwd=work)
+    pre = read_epochs(pre_jsonl)
 
-    # 3. composer finetune from the pretrain checkpoint
+    # 3. composer finetune from the pretrain checkpoint (the corpus has 10
+    # composer directories -> 10 classes, not the Pianist8 default of 8)
+    n_cls = len(json.load(open(os.path.join(
+        work, "Data/output_composer/corpus/corpus_composer.json"))))
     _, ft_s = sh(["finetune", "--task", "composer", "--dataset", "corpus",
                   "--dataroot", "Data/output_composer/corpus",
                   "--epochs", str(epochs_ft), "--batch_size", "8",
+                  "--class_num", str(n_cls),
                   "--name", "realdata", "--mesh", "1x1x1",
                   "--ckpt", "result/pretrain/realdata/best"], cwd=work)
     ft = read_epochs(os.path.join(
@@ -124,17 +133,19 @@ def main():
         "",
         "## Pretrain curve (vocab-weighted)",
         "",
-        "| epoch | train loss | valid loss | weighted acc | tok/s |",
-        "|---|---|---|---|---|",
+        "(throughput lives in bench.py/BENCH_r*.json; the runner's epoch",
+        "timer doesn't device-sync and would overstate it)",
+        "",
+        "| epoch | train loss | valid loss | weighted acc |",
+        "|---|---|---|---|",
     ]
     for rec in pre:
         lines.append(
             f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
-            f"| {rec['valid']['loss']:.4f} | {rec['weighted_acc']:.4f} "
-            f"| {rec['train'].get('tokens_per_sec', 0):.0f} |")
+            f"| {rec['valid']['loss']:.4f} | {rec['weighted_acc']:.4f} |")
     lines += [
         "",
-        "## Composer finetune (8-way classification)",
+        f"## Composer finetune ({n_cls}-way classification)",
         "",
         "| epoch | train loss | valid acc | test acc |",
         "|---|---|---|---|",

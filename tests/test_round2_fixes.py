@@ -177,3 +177,25 @@ def test_generate_rejects_oversized_max_steps():
     ids = jnp.zeros((1, cfg.max_len, 8), jnp.int32)
     with pytest.raises(ValueError, match="max_steps"):
         generate(None, ids, cfg=cfg, max_steps=cfg.max_len + 1)
+
+
+def test_restore_params_accepts_payload_dir(rng, tmp_path):
+    """--ckpt may point at the manager root OR directly at best/step_N
+    (the real-data E2E run hit step_None with the direct path)."""
+    from pianobart_tpu.train.state import (CheckpointManager, TrainState,
+                                           make_optimizer)
+    import jax.numpy as jnp
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+    state = TrainState.create(apply_fn=None, params=params,
+                              tx=make_optimizer(1e-3))
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    mgr.save(3, state, {"weighted_acc": 0.5}, is_best=True)
+
+    template = {"w": jnp.zeros(4), "b": jnp.zeros(2)}
+    via_root = CheckpointManager(str(tmp_path / "run")).restore_params(template)
+    via_best = CheckpointManager(str(tmp_path / "run" / "best")).restore_params(template)
+    via_step = CheckpointManager(str(tmp_path / "run" / "step_3")).restore_params(template)
+    for got in (via_root, via_best, via_step):
+        np.testing.assert_array_equal(got["w"], np.arange(4.0))
+        np.testing.assert_array_equal(got["b"], np.ones(2))
