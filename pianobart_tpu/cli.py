@@ -458,6 +458,19 @@ def cmd_check(args) -> int:
     return 0 if report.ok else 1
 
 
+def cmd_make_dict(args) -> int:
+    """Emit the Octuple vocabulary artifacts (reference make_dict.py)."""
+    import os as _os
+    from .vocab import VOCAB
+    _os.makedirs(args.out_dir, exist_ok=True)
+    pkl = _os.path.join(args.out_dir, "Octuple.pkl")
+    txt = _os.path.join(args.out_dir, "dict.txt")
+    VOCAB.save_pickle(pkl)
+    VOCAB.dump_dict_txt(txt)
+    print(f"wrote {pkl} and {txt} ({VOCAB.total} tokens)")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .serve.app import App, GenerationService
     service = GenerationService(ckpt=args.ckpt, max_batch=args.max_batch,
@@ -609,6 +622,11 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--sample", type=str, default=None,
                     help="write one decoded window to this .mid for audition")
     sc.set_defaults(fn=cmd_check)
+
+    smd = sub.add_parser("make-dict")
+    smd.add_argument("--out_dir", default="Data",
+                     help="where to write Octuple.pkl + dict.txt")
+    smd.set_defaults(fn=cmd_make_dict)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--ckpt", default=None)

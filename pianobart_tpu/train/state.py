@@ -108,9 +108,16 @@ class CheckpointManager:
 
     def _gc(self) -> None:
         meta = self._read_meta()
-        steps = sorted(int(d.split("_")[1]) for d in os.listdir(self.directory)
-                       if d.startswith("step_"))
-        for s in steps[:-self.max_to_keep]:
+        steps = []
+        for d in os.listdir(self.directory):
+            # ignore (and sweep) orbax tmp dirs left by a killed process
+            if d.endswith(".orbax-checkpoint-tmp"):
+                shutil.rmtree(os.path.join(self.directory, d),
+                              ignore_errors=True)
+                continue
+            if d.startswith("step_") and d.split("_", 1)[1].isdigit():
+                steps.append(int(d.split("_", 1)[1]))
+        for s in sorted(steps)[:-self.max_to_keep]:
             if s != meta.get("best_step"):
                 shutil.rmtree(os.path.join(self.directory, f"step_{s}"),
                               ignore_errors=True)

@@ -38,11 +38,14 @@ def sh(args, cwd, env=None):
 
 
 def read_epochs(path):
+    """Epoch records of the LATEST run (logs append across reruns)."""
     out = []
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
             if rec.get("event") == "epoch":
+                if out and rec["epoch"] <= out[-1]["epoch"]:
+                    out = []  # a rerun started over
                 out.append(rec)
     return out
 

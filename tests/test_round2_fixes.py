@@ -199,3 +199,21 @@ def test_restore_params_accepts_payload_dir(rng, tmp_path):
     for got in (via_root, via_best, via_step):
         np.testing.assert_array_equal(got["w"], np.arange(4.0))
         np.testing.assert_array_equal(got["b"], np.ones(2))
+
+
+def test_checkpoint_gc_survives_orphaned_tmp_dirs(tmp_path):
+    """A killed process leaves step_N.orbax-checkpoint-tmp dirs; the
+    manager must sweep them instead of crashing on int parse."""
+    import jax.numpy as jnp
+    from pianobart_tpu.train.state import (CheckpointManager, TrainState,
+                                           make_optimizer)
+
+    state = TrainState.create(apply_fn=None, params={"w": jnp.ones(2)},
+                              tx=make_optimizer(1e-3))
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    mgr.save(1, state, {"weighted_acc": 0.1}, is_best=True)
+    orphan = tmp_path / "run" / "step_4.orbax-checkpoint-tmp"
+    orphan.mkdir()
+    (orphan / "junk").write_text("x")
+    mgr.save(2, state, {"weighted_acc": 0.2}, is_best=False)  # triggers _gc
+    assert not orphan.exists()

@@ -69,3 +69,36 @@ def test_dict_txt_line_count():
     with open(REF_DICT) as f:
         lines = [l for l in f if l.strip()]
     assert len(lines) == V.TOTAL_VOCAB
+
+
+def test_make_dict_artifacts_match_reference(tmp_path):
+    """`cli make-dict` emits Octuple.pkl + dict.txt matching the shipped
+    reference artifacts (up to Python float-repr of tempo names)."""
+    import os
+    import pickle
+
+    import pytest
+
+    from pianobart_tpu.cli import main
+
+    ref_txt = "/root/reference/Data/dict.txt"
+    if not os.path.exists(ref_txt):
+        pytest.skip("reference absent")
+    assert main(["make-dict", "--out_dir", str(tmp_path)]) == 0
+
+    ref = open(ref_txt).read().splitlines()
+    mine = open(tmp_path / "dict.txt").read().splitlines()
+    assert len(ref) == len(mine) == 1280
+    diffs = [(a, b) for a, b in zip(ref, mine) if a != b]
+    for a, b in diffs:  # only float-repr drift in tempo names is allowed
+        assert a.startswith("Tempo ") and b.startswith("Tempo ")
+        fa = float(a.split(" ", 1)[1].split(":")[0])
+        fb = float(b.split(" ", 1)[1].split(":")[0])
+        assert abs(fa - fb) < 1e-9
+
+    with open("/root/reference/Data/Octuple.pkl", "rb") as f:
+        e2w_ref, _ = pickle.load(f)
+    with open(tmp_path / "Octuple.pkl", "rb") as f:
+        e2w_mine, _ = pickle.load(f)
+    for field in e2w_ref:
+        assert set(e2w_ref[field].values()) == set(e2w_mine[field].values())
