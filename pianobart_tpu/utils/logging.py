@@ -37,18 +37,48 @@ def _jsonable(v):
 
 class MetricsLogger:
     def __init__(self, directory: str, name: str = "metrics",
-                 echo: bool = True):
+                 echo: bool = True, tensorboard: bool = True):
         os.makedirs(directory, exist_ok=True)
         self.jsonl_path = os.path.join(directory, f"{name}.jsonl")
         self.log_path = os.path.join(directory, "log")
         self.echo = echo
         self._t0 = time.time()
+        # Optional TensorBoard stream (SURVEY §5: jsonl + TensorBoard):
+        # written alongside the jsonl when tensorboardX is importable.
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(directory, "tb"))
+            except Exception:
+                self._tb = None
 
     def log(self, event: str, **fields: Any) -> None:
         rec = {"event": event, "t": round(time.time() - self._t0, 3)}
         rec.update({k: _jsonable(v) for k, v in fields.items()})
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None and event == "epoch":
+            self._tb_scalars(rec)
+
+    def _tb_scalars(self, rec: Dict[str, Any]) -> None:
+        step = int(rec.get("epoch", 0))
+
+        def emit(prefix: str, value: Any) -> None:
+            if isinstance(value, dict):
+                for k, v in value.items():
+                    emit(f"{prefix}/{k}", v)
+            elif isinstance(value, (int, float)) and not isinstance(value, bool):
+                self._tb.add_scalar(prefix, value, step)
+            elif isinstance(value, list) and value and all(
+                    isinstance(x, (int, float)) for x in value):
+                for i, x in enumerate(value):
+                    self._tb.add_scalar(f"{prefix}/{i}", x, step)
+
+        for k, v in rec.items():
+            if k not in ("event", "t", "epoch"):
+                emit(k, v)
+        self._tb.flush()
 
     def epoch_line(self, text: str) -> None:
         """Reference-style append-only epoch log (main.py:90-92)."""

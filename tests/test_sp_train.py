@@ -94,3 +94,42 @@ def test_sp_longer_than_max_len_runs(rng):
     out = encode_sp(model, params, ids, mask, mesh)
     assert out.shape == (1, S_global, cfg.d_model)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_sp_eval_step_matches_dense_eval(rng):
+    """make_sp_eval_step == pretrain_eval_step (loss + per-field accs) for
+    the same corruption rng on a dp×sp mesh, incl. zero-weighted tail rows."""
+    from pianobart_tpu.train.pretrain import pretrain_eval_step
+    from pianobart_tpu.train.pretrain_sp import make_sp_eval_step
+
+    S, B = 128, 4
+    base = tiny_config(max_len=S, d_model=128, num_heads=1, emb_size=16,
+                       dropout=0.0)
+    cfg_sp = base.replace(ring_axis="sp", use_flash_attention=False)
+    batch = np.zeros((B, S, 8), dtype=np.int32)
+    for f in range(8):
+        batch[..., f] = rng.integers(0, V.TOKEN_BOUNDARY[f], (B, S))
+    batch = jnp.asarray(batch)
+    weight = jnp.asarray([1.0, 1.0, 1.0, 0.0])   # one padded tail row
+    key = jax.random.PRNGKey(11)
+
+    dense_model = PianoBartLM(base)
+    ids = jnp.zeros((2, S, 8), jnp.int32)
+    m = jnp.ones((2, S))
+    params = nn.meta.unbox(dense_model.init(key, ids, ids, m, m))["params"]
+    state = TrainState.create(apply_fn=dense_model.apply, params=params,
+                              tx=make_optimizer(1e-3))
+
+    dense = pretrain_eval_step(state, batch, key, weight, base, 0.15)
+
+    mesh = make_mesh(dp=2, tp=1, sp=2, devices=jax.devices()[:4])
+    sp_eval = make_sp_eval_step(cfg_sp, mesh, 0.15)
+    sp_state = TrainState.create(apply_fn=None,
+                                 params=jax.tree.map(jnp.copy, params),
+                                 tx=make_optimizer(1e-3))
+    sp = sp_eval(sp_state, batch, key, weight)
+
+    assert float(sp["loss"]) == pytest.approx(float(dense["loss"]), rel=2e-5)
+    np.testing.assert_allclose(np.asarray(sp["field_acc"]),
+                               np.asarray(dense["field_acc"]),
+                               rtol=1e-5, atol=1e-6)
