@@ -162,3 +162,32 @@ def test_process_bytes_matches_process_file(rng):
     assert a.status == b.status
     assert [list(map(tuple, s)) for s in a.sequences] == \
            [list(map(tuple, s)) for s in b.sequences]
+
+
+def test_native_codec_bit_identical_on_realistic_corpus(rng, tmp_path):
+    """C++ parse+quantize == Python path on the REALISTIC corpus generator
+    (public-domain repertoire, multi-track arrangements, mid-piece tempo and
+    time-signature changes, drum tracks, overlapping/zero-length notes) —
+    the messiness real pipelines choke on, not just make_song grids."""
+    import sys
+    from pianobart_tpu.midi import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    sys.path.insert(0, "/root/repo")
+    from scripts.make_corpus import (bach_prelude, fur_elise, ode_to_joy,
+                                     pachelbel_canon, procedural_song)
+    from pianobart_tpu.midi.writer import midi_bytes
+    from pianobart_tpu.midi.parser import read_midi_bytes
+
+    songs = [bach_prelude(rng), pachelbel_canon(rng, 3), ode_to_joy(rng, 2),
+             fur_elise(rng)]
+    for style in ("Nocturne", "Ragtime", "Etude", "Minimal", "Folk", "Band"):
+        songs.append(procedural_song(rng, style, int(rng.integers(8, 40))))
+    checked = 0
+    for song in songs:
+        data = midi_bytes(song)
+        py = midi_to_octuple(read_midi_bytes(data), "pretrain")
+        nat = native.midi_bytes_to_octuple(data, "pretrain")
+        assert nat == [tuple(r) for r in py]
+        checked += len(py)
+    assert checked > 1000  # non-trivial token volume
