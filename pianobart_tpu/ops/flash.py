@@ -5,12 +5,27 @@ Blockwise online-softmax attention (FlashAttention-2 schedule) so the
 train step OOMs a 16 GB v5e chip (24 × 512 MB f32 score buffers in the XLA
 backward — measured, see ops/attention.py).
 
-Layout: ``q, k, v : (B, S, H, D)`` (D = head dim, lane-aligned 128).
-Internally tiled as ``(B*H, S, D)`` with grid ``(BH, nQ, nKV)``, kv
-innermost.  Supports key padding (``kv_mask``) and causal masking; the
-causal path skips fully-masked kv blocks via predication.
+Layout — H-in-lanes: the public API is ``q, k, v : (B, S, H, D)`` (D = head
+dim, lane-aligned 128), but internally tensors are viewed as ``(B, S, H*D)``
+— a pure metadata reshape — and each head is a static 128-wide *lane slice*
+selected by the BlockSpec index map over a ``(B, H, nQ, nKV)`` grid.  The
+previous layout flattened to ``(B*H, S, D)`` via a real ``(B,S,H,D) →
+(B,H,S,D)`` transpose, which cost ~29 ms/step of pure data movement in the
+full train step (measured via xprof); this layout has zero transposes
+anywhere on the attention path.  Row statistics (lse) live as ``(B, H, S)``.
 
-Backward follows the FlashAttention-2 recipe with two pallas kernels:
+MXU operands are upcast to f32 (accumulation f32 via
+``preferred_element_type``).  A bf16-operand variant (``PBX_FLASH_BF16=1``)
+was measured SLOWER on v5e — these kernels are VPU-bound, and the extra
+(S, S) cast passes cost more than the MXU passes they save (attn fwd+bwd
+11.0 vs 8.6 ms/module at B=32, S=1024).  Measured on v5e, the H-in-lanes
+layout beats the transpose-based one 2.82 vs 3.52 ms/module forward and
+407.7 vs 424.0 ms on the full-model fwd+bwd probe (scripts/perf_probe.py).
+
+Backward follows the FlashAttention-2 recipe.  When the whole sequence fits
+one block per grid step (the flagship S=1024 workload and ring shards) a
+single fused kernel produces dQ, dK and dV computing S, P, dS exactly once;
+otherwise two kernels:
 
 * ``dq``  — per q block, sweep kv blocks:  dS = P ∘ (dO Vᵀ − Δ),
   dQ += dS·K with P recomputed from the saved row logsumexp L;
@@ -22,6 +37,7 @@ Runs in interpret mode off-TPU so the same kernels are unit-tested on CPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +45,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# MXU operand dtype experiment: by default score/grad matmul operands are
+# upcast to f32 (accumulation is f32 either way).  PBX_FLASH_BF16=1 keeps
+# operands in the model dtype (bf16 under training) — measured SLOWER on
+# v5e (the kernels are VPU-bound; the extra (S,S) cast passes cost more
+# than the MXU passes they save), kept as a switch for re-evaluation.
+
+
+def _mxu_in(x):
+    if os.environ.get("PBX_FLASH_BF16", "0") == "1":
+        return x
+    return x.astype(jnp.float32)
+
+
+def _p_for_dot(p, other_dtype):
+    if os.environ.get("PBX_FLASH_BF16", "0") == "1":
+        return p.astype(other_dtype)
+    return p
 
 # Measured on v5e (B=32, S=1024, H=8, D=128): 1024x1024 blocks are ~25%
 # faster forward than 512x512 (single-pass softmax, no cross-block rescale);
@@ -62,6 +96,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _view_flat(x):
+    """(B, S, H, D) -> (B, S, H*D): contiguous, metadata-only."""
+    B, S, H, D = x.shape
+    return x.reshape(B, S, H * D)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -70,9 +110,9 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
                 o_ref, lse_ref,                  # outputs
                 acc_ref, m_ref, l_ref,           # scratch
                 *, causal: bool, block_q: int, block_kv: int):
-    iq = pl.program_id(1)
-    ikv = pl.program_id(2)
-    n_kv = pl.num_programs(2)
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+    n_kv = pl.num_programs(3)
 
     @pl.when(ikv == 0)
     def _init():
@@ -87,8 +127,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                    # (Bq, D)
-        k = k_ref[0].astype(jnp.float32)                    # (Bkv, D)
+        q = _mxu_in(q_ref[0])                               # (Bq, D)
+        k = _mxu_in(k_ref[0])                               # (Bkv, D)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = mask_ref[0, 0] != 0                          # (Bkv,)
@@ -103,12 +143,12 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
         m_prev = m_ref[...]                                 # (Bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                              # (Bq, Bkv)
+        p = jnp.exp(s - m_new)                              # (Bq, Bkv) f32
         corr = jnp.exp(m_prev - m_new)                      # (Bq, 1)
         l_ref[...] = l_ref[...] * corr + p.sum(axis=1, keepdims=True)
-        v = v_ref[0].astype(jnp.float32)
+        v = _mxu_in(v_ref[0])
         acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            _p_for_dot(p, v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[...] = m_new
 
@@ -117,44 +157,48 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
         l = l_ref[...]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_ref[...] + jnp.log(l_safe))[:, 0]
+        lse_ref[0, 0, 0] = (m_ref[...] + jnp.log(l_safe))[:, 0]
 
 
 def _fwd(q, k, v, kv_mask, causal, block_q, block_kv):
+    """Internal flash forward.
+
+    Accepts (B, S, H, D); returns ``out (B, Sq, H*D)``, ``lse (B, H, Sq)``
+    and the flat residuals — no transposes, only free reshapes.
+    """
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     block_q = _resolve(block_q, _FWD_BLOCK, Sq)
     block_kv = _resolve(block_kv, _FWD_BLOCK, Skv)
-    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
-    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Skv, D)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Skv, D)
+    qf, kf, vf = _view_flat(q), _view_flat(k), _view_flat(v)
     if kv_mask is None:
-        maskf = jnp.ones((B, Skv), jnp.int32)
+        maskf = jnp.ones((B, 1, Skv), jnp.int32)
     else:
-        maskf = kv_mask.astype(jnp.int32)
-    maskf = jnp.repeat(maskf, H, axis=0)[:, None, :]         # (B*H, 1, Skv)
+        maskf = kv_mask.astype(jnp.int32)[:, None, :]        # (B, 1, Skv)
 
     nq = Sq // block_q
     nkv = Skv // block_kv
-    grid = (B * H, nq, nkv)
+    grid = (B, H, nq, nkv)
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, causal=causal,
                           block_q=block_q, block_kv=block_kv),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_kv), lambda bh, iq, ikv: (bh, 0, ikv)),
-            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
+            pl.BlockSpec((1, block_q, D), lambda b, h, iq, ikv: (b, iq, h)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, iq, ikv: (b, ikv, h)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, iq, ikv: (b, ikv, h)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)),
+            pl.BlockSpec((1, block_q, D), lambda b, h, iq, ikv: (b, iq, h)),
+            # unit third dim keeps the (sublane, lane) block = (1, block_q)
+            # legal: sublane block equals the full array dim
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sq, H * D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, Sq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
@@ -163,7 +207,7 @@ def _fwd(q, k, v, kv_mask, causal, block_q, block_kv):
         ],
         interpret=_interpret(),
     )(maskf, qf, kf, vf)
-    return out, lse, (qf, kf, vf, maskf)
+    return out, lse.reshape(B, H, Sq), (qf, kf, vf, maskf)
 
 
 # ---------------------------------------------------------------------------
@@ -173,9 +217,9 @@ def _fwd(q, k, v, kv_mask, causal, block_q, block_kv):
 def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dq_ref, dq_acc,
                *, causal: bool, block_q: int, block_kv: int):
-    iq = pl.program_id(1)
-    ikv = pl.program_id(2)
-    n_kv = pl.num_programs(2)
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+    n_kv = pl.num_programs(3)
 
     @pl.when(ikv == 0)
     def _init():
@@ -187,10 +231,10 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = _mxu_in(q_ref[0])
+        k = _mxu_in(k_ref[0])
+        v = _mxu_in(v_ref[0])
+        do = _mxu_in(do_ref[0])
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = mask_ref[0, 0] != 0
@@ -201,12 +245,12 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             cols = ikv * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0, 0][:, None])              # (Bq, Bkv)
+        p = jnp.exp(s - lse_ref[0, 0, 0][:, None])              # (Bq, Bkv) f32
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, None])
+        ds = p * (dp - delta_ref[0, 0, 0][:, None])
         dq_acc[...] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            _p_for_dot(ds, k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(ikv == n_kv - 1)
@@ -217,9 +261,9 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
                 *, causal: bool, block_q: int, block_kv: int):
-    ikv = pl.program_id(1)
-    iq = pl.program_id(2)
-    n_q = pl.num_programs(2)
+    ikv = pl.program_id(2)
+    iq = pl.program_id(3)
+    n_q = pl.num_programs(3)
 
     @pl.when(iq == 0)
     def _init():
@@ -232,10 +276,10 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = _mxu_in(q_ref[0])
+        k = _mxu_in(k_ref[0])
+        v = _mxu_in(v_ref[0])
+        do = _mxu_in(do_ref[0])
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = mask_ref[0, 0] != 0
@@ -246,15 +290,15 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             cols = ikv * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0, 0][:, None])              # (Bq, Bkv)
+        p = jnp.exp(s - lse_ref[0, 0, 0][:, None])              # (Bq, Bkv) f32
         dv_acc[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, None])             # (Bq, Bkv)
+        ds = p * (dp - delta_ref[0, 0, 0][:, None])             # (Bq, Bkv)
         dk_acc[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            _p_for_dot(ds, q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(iq == n_q - 1)
@@ -275,10 +319,10 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     multi-block shapes fall back to the two-kernel path, whose accumulator
     lifetimes don't fit a single grid order.
     """
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = _mxu_in(q_ref[0])
+    k = _mxu_in(k_ref[0])
+    v = _mxu_in(v_ref[0])
+    do = _mxu_in(do_ref[0])
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     mask = mask_ref[0, 0] != 0
@@ -287,51 +331,57 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         s = jnp.where(rows >= cols, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0][:, None])                 # (Bq, Bkv)
+    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])                 # (Bq, Bkv) f32
     dv_ref[0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0, 0][:, None])
+    ds = p * (dp - delta_ref[0, 0, 0][:, None])
     dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+        _p_for_dot(ds, k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        _p_for_dot(ds, q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 def _bwd_fused_call(qf, kf, vf, maskf, dof, lse, delta, causal,
-                    block_q, block_kv):
-    """Fused dQ/dK/dV when Sq and Skv each fit one block."""
-    BH, Sq, D = qf.shape
+                    block_q, block_kv, H):
+    """Fused dQ/dK/dV when Sq and Skv each fit one block.
+
+    Flat layout: ``qf (B, Sq, H*D)``, ``lse/delta (B, H, Sq)``.
+    """
+    B, Sq, HD = qf.shape
+    D = HD // H
     Skv = kf.shape[1]
+    lse4 = lse.reshape(B, H, 1, Sq)
+    delta4 = delta.reshape(B, H, 1, Sq)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, causal=causal, block_q=Sq,
                           block_kv=Skv),
-        grid=(BH,),
+        grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, 1, Skv), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, Sq, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, Sq, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, Sq), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, Sq), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, Skv), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, Sq, D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((1, Skv, D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((1, Skv, D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((1, Sq, D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((1, 1, 1, Sq), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Sq), lambda b, h: (b, h, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Sq, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, Skv, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, Sq, D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((1, Skv, D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((1, Skv, D), lambda b, h: (b, 0, h)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Sq, D), qf.dtype),
-            jax.ShapeDtypeStruct((BH, Skv, D), kf.dtype),
-            jax.ShapeDtypeStruct((BH, Skv, D), vf.dtype),
+            jax.ShapeDtypeStruct((B, Sq, HD), qf.dtype),
+            jax.ShapeDtypeStruct((B, Skv, HD), kf.dtype),
+            jax.ShapeDtypeStruct((B, Skv, HD), vf.dtype),
         ],
         interpret=_interpret(),
-    )(maskf, qf, kf, vf, dof, lse, delta)
+    )(maskf, qf, kf, vf, dof, lse4, delta4)
     return dq, dk, dv
 
 
@@ -341,95 +391,104 @@ def _fused_eligible(Sq, Skv, block_q, block_kv) -> bool:
     return bq == Sq and bkv == Skv
 
 
-def _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal, block_q, block_kv):
-    """dQ for flattened (B*H, S, D) blocks given the global row lse/delta."""
-    BH, Sq, D = qf.shape
+def _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal, block_q, block_kv, H):
+    """dQ in the flat (B, S, H*D) layout given (B, H, S) row lse/delta."""
+    B, Sq, HD = qf.shape
+    D = HD // H
     Skv = kf.shape[1]
     block_q = _resolve(block_q, _BWD_BLOCK, Sq)
     block_kv = _resolve(block_kv, _BWD_BLOCK, Skv)
     nq = Sq // block_q
     nkv = Skv // block_kv
-    B = BH  # grid leading dim
-    H = 1
+    lse4 = lse.reshape(B, H, 1, Sq)
+    delta4 = delta.reshape(B, H, 1, Sq)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, block_q=block_q,
                           block_kv=block_kv),
-        grid=(B * H, nq, nkv),
+        grid=(B, H, nq, nkv),
         in_specs=[
-            pl.BlockSpec((1, 1, block_kv), lambda bh, iq, ikv: (bh, 0, ikv)),
-            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda bh, iq, ikv: (bh, ikv, 0)),
-            pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, iq, ikv: (bh, 0, iq)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
+            pl.BlockSpec((1, block_q, D), lambda b, h, iq, ikv: (b, iq, h)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, iq, ikv: (b, ikv, h)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, iq, ikv: (b, ikv, h)),
+            pl.BlockSpec((1, block_q, D), lambda b, h, iq, ikv: (b, iq, h)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, iq, ikv: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), qf.dtype),
+        out_specs=pl.BlockSpec((1, block_q, D),
+                               lambda b, h, iq, ikv: (b, iq, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, HD), qf.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=_interpret(),
-    )(maskf, qf, kf, vf, dof, lse, delta)
+    )(maskf, qf, kf, vf, dof, lse4, delta4)
     return dq
 
 
-def _dkv_call(qf, kf, vf, maskf, dof, lse, delta, causal, block_q, block_kv):
-    """dK, dV for flattened (B*H, S, D) blocks given global row lse/delta."""
-    BH, Sq, D = qf.shape
+def _dkv_call(qf, kf, vf, maskf, dof, lse, delta, causal, block_q, block_kv,
+              H):
+    """dK, dV in the flat (B, S, H*D) layout given (B, H, S) row lse/delta."""
+    B, Sq, HD = qf.shape
+    D = HD // H
     Skv = kf.shape[1]
     block_q = _resolve(block_q, _BWD_BLOCK, Sq)
     block_kv = _resolve(block_kv, _BWD_BLOCK, Skv)
     nq = Sq // block_q
     nkv = Skv // block_kv
-    B = BH
-    H = 1
+    lse4 = lse.reshape(B, H, 1, Sq)
+    delta4 = delta.reshape(B, H, 1, Sq)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, causal=causal, block_q=block_q,
                           block_kv=block_kv),
-        grid=(B * H, nkv, nq),
+        grid=(B, H, nkv, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, block_kv), lambda bh, ikv, iq: (bh, 0, ikv)),
-            pl.BlockSpec((1, block_q, D), lambda bh, ikv, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
-            pl.BlockSpec((1, block_q, D), lambda bh, ikv, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, ikv, iq: (bh, 0, iq)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, ikv, iq: (bh, 0, iq)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, ikv, iq: (b, 0, ikv)),
+            pl.BlockSpec((1, block_q, D), lambda b, h, ikv, iq: (b, iq, h)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, ikv, iq: (b, ikv, h)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, ikv, iq: (b, ikv, h)),
+            pl.BlockSpec((1, block_q, D), lambda b, h, ikv, iq: (b, iq, h)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
-            pl.BlockSpec((1, block_kv, D), lambda bh, ikv, iq: (bh, ikv, 0)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, ikv, iq: (b, ikv, h)),
+            pl.BlockSpec((1, block_kv, D), lambda b, h, ikv, iq: (b, ikv, h)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, Skv, D), kf.dtype),
-            jax.ShapeDtypeStruct((B * H, Skv, D), vf.dtype),
+            jax.ShapeDtypeStruct((B, Skv, HD), kf.dtype),
+            jax.ShapeDtypeStruct((B, Skv, HD), vf.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((block_kv, D), jnp.float32),
                         pltpu.VMEM((block_kv, D), jnp.float32)],
         interpret=_interpret(),
-    )(maskf, qf, kf, vf, dof, lse, delta)
+    )(maskf, qf, kf, vf, dof, lse4, delta4)
     return dk, dv
+
+
+def _delta(dof, out, H):
+    """Δ_i = rowsum(dO ∘ O) per head: (B, S, H*D) pair -> (B, H, S)."""
+    B, S, HD = dof.shape
+    d = (dof.astype(jnp.float32) * out.astype(jnp.float32))
+    return d.reshape(B, S, H, HD // H).sum(-1).transpose(0, 2, 1)
 
 
 def _bwd_impl(causal, block_q, block_kv, res, g):
     qf, kf, vf, maskf, out, lse, shapes = res
     B, Sq, H, D = shapes
     Skv = kf.shape[1]
-    dof = g.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
-    # Δ_i = rowsum(dO ∘ O) (FlashAttention-2, eq. for dS)
-    delta = (dof.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
-    delta = delta[:, None, :]                                # (B*H, 1, Sq)
+    dof = _view_flat(g)                                      # (B, Sq, H*D)
+    delta = _delta(dof, out, H)                              # (B, H, Sq)
 
     if _fused_eligible(Sq, Skv, block_q, block_kv):
         dq, dk, dv = _bwd_fused_call(qf, kf, vf, maskf, dof, lse, delta,
-                                     causal, block_q, block_kv)
+                                     causal, block_q, block_kv, H)
     else:
         dq = _dq_call(qf, kf, vf, maskf, dof, lse, delta, causal,
-                      block_q, block_kv)
+                      block_q, block_kv, H)
         dk, dv = _dkv_call(qf, kf, vf, maskf, dof, lse, delta, causal,
-                           block_q, block_kv)
+                           block_q, block_kv, H)
 
     def unflat(x, S):
-        return x.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+        return x.reshape(B, S, H, D)
 
     return unflat(dq, Sq), unflat(dk, Skv), unflat(dv, Skv), None
 
@@ -442,7 +501,7 @@ def flash_attention(q, k, v, kv_mask=None,
     """Flash attention over (B, S, H, D); q pre-scaled by the caller."""
     out, _, _ = _fwd(q, k, v, kv_mask, causal, block_q, block_kv)
     B, Sq, H, D = q.shape
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, Sq, H, D)
 
 
 def _vjp_fwd(q, k, v, kv_mask, causal, block_q, block_kv):
@@ -450,7 +509,7 @@ def _vjp_fwd(q, k, v, kv_mask, causal, block_q, block_kv):
                                          block_q, block_kv)
     B, Sq, H, D = q.shape
     res = (qf, kf, vf, maskf, out, lse, (B, Sq, H, D))
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3), res
+    return out.reshape(B, Sq, H, D), res
 
 
 def _vjp_bwd(causal, block_q, block_kv, res, g):

@@ -39,8 +39,7 @@ def _local_flash(q, k, v, kv_mask, causal):
     """Local flash block returning (out (B,S,H,D), lse (B,H,S))."""
     B, Sq, H, D = q.shape
     out, lse, _ = _flash_fwd(q, k, v, kv_mask, causal, None, None)
-    return (out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3),
-            lse.reshape(B, H, Sq))
+    return out.reshape(B, Sq, H, D), lse
 
 
 def _merge(out_a, lse_a, out_b, lse_b):
@@ -114,28 +113,27 @@ def _ring_vjp_bwd(causal, axis_name, res, g):
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     B, S, H, D = q.shape
-    BH = B * H
 
     def flat(x):
-        return x.transpose(0, 2, 1, 3).reshape(BH, x.shape[1], D)
+        return x.reshape(B, x.shape[1], H * D)   # metadata-only
 
     qf = flat(q)
     dof = flat(g).astype(jnp.float32)
     outf = flat(out).astype(jnp.float32)
-    lsef = lse.reshape(BH, S)[:, None, :]
-    delta = (dof * outf).sum(-1)[:, None, :]
+    lsef = lse                                    # (B, H, S)
+    delta = ((dof * outf).reshape(B, S, H, D).sum(-1).transpose(0, 2, 1))
 
     def grads_for_block(kbf, vbf, mbf, block_causal):
         Sq_l, Skv_l = qf.shape[1], kbf.shape[1]
         if _fused_eligible(Sq_l, Skv_l, None, None):
             dq, dk, dv = _bwd_fused_call(qf, kbf, vbf, mbf,
                                          dof.astype(qf.dtype), lsef, delta,
-                                         block_causal, None, None)
+                                         block_causal, None, None, H)
         else:
             dq = _dq_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef,
-                          delta, block_causal, None, None)
+                          delta, block_causal, None, None, H)
             dk, dv = _dkv_call(qf, kbf, vbf, mbf, dof.astype(qf.dtype), lsef,
-                               delta, block_causal, None, None)
+                               delta, block_causal, None, None, H)
         return (dq.astype(jnp.float32), dk.astype(jnp.float32),
                 dv.astype(jnp.float32))
 
@@ -146,7 +144,7 @@ def _ring_vjp_bwd(causal, axis_name, res, g):
         diagonal = src_shard == my
         kbf = flat(kb)
         vbf = flat(vb)
-        mbf = jnp.repeat(mb.astype(jnp.int32), H, axis=0)[:, None, :]
+        mbf = mb.astype(jnp.int32)[:, None, :]
 
         def compute(_):
             if causal:
@@ -159,7 +157,7 @@ def _ring_vjp_bwd(causal, axis_name, res, g):
                 dq_i, dk_i, dv_i = grads_for_block(kbf, vbf, mbf, False)
 
             def unflat(x):
-                return x.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+                return x.reshape(B, S, H, D)      # metadata-only
 
             return (dq + unflat(dq_i), dkb + unflat(dk_i),
                     dvb + unflat(dv_i))

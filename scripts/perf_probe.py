@@ -65,7 +65,7 @@ def main(which):
                 o = flash_attention(c, c, c, mask, False)
                 return (o * 0.5 + c * 0.5).astype(c.dtype), None
             y, _ = jax.lax.scan(body, x, None, length=24)
-            return y
+            return y.astype(jnp.float32).sum()   # scalar fetch: tunnel-honest
         t = measure(attn24, q) - rtt
         print(f"attn24 pbx {t * 1e3:8.2f} ms ({t / 24 * 1e3:.2f} ms/module)",
               flush=True)
@@ -81,7 +81,7 @@ def main(which):
                 o = o.transpose(0, 2, 1, 3)
                 return (o * 0.5 + c * 0.5).astype(c.dtype), None
             y, _ = jax.lax.scan(body, x, None, length=24)
-            return y
+            return y.astype(jnp.float32).sum()
         t = measure(attn24_jax, q) - rtt
         print(f"attn24 jax {t * 1e3:8.2f} ms ({t / 24 * 1e3:.2f} ms/module)",
               flush=True)
@@ -96,7 +96,7 @@ def main(which):
                 g = jax.grad(loss)(c)
                 return (c * 0.5 + g * 0.5).astype(c.dtype), None
             y, _ = jax.lax.scan(body, x, None, length=24)
-            return y
+            return y.astype(jnp.float32).sum()
         t = measure(attnbwd24, q) - rtt
         print(f"attnbwd24  {t * 1e3:8.2f} ms ({t / 24 * 1e3:.2f} ms/module)",
               flush=True)
