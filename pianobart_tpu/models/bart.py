@@ -156,6 +156,13 @@ def _layer_norm(cfg: PianoBartConfig, name: str) -> nn.LayerNorm:
                         param_dtype=cfg.param_dtype, name=name)
 
 
+def _ffn_cls(cfg: PianoBartConfig):
+    """FeedForward, optionally remat'ed (recompute fc1/GELU in backward)."""
+    if cfg.remat_ffn and not cfg.remat:
+        return nn.remat(FeedForward, static_argnums=(2,))
+    return FeedForward
+
+
 class EncoderLayer(nn.Module):
     cfg: PianoBartConfig
 
@@ -169,7 +176,7 @@ class EncoderLayer(nn.Module):
         x = _layer_norm(cfg, "self_attn_layer_norm")(residual + h)
 
         residual = x
-        h = FeedForward(cfg, name="ffn")(x, deterministic)
+        h = _ffn_cls(cfg)(cfg, name="ffn")(x, deterministic)
         h = Dropout(cfg.dropout)(h, deterministic=deterministic)
         return _layer_norm(cfg, "final_layer_norm")(residual + h)
 
@@ -198,7 +205,7 @@ class DecoderLayer(nn.Module):
         x = _layer_norm(cfg, "cross_attn_layer_norm")(residual + h)
 
         residual = x
-        h = FeedForward(cfg, name="ffn")(x, deterministic)
+        h = _ffn_cls(cfg)(cfg, name="ffn")(x, deterministic)
         h = Dropout(cfg.dropout)(h, deterministic=deterministic)
         x = _layer_norm(cfg, "final_layer_norm")(residual + h)
 

@@ -37,6 +37,12 @@ class PianoBartConfig:
     param_dtype: jnp.dtype = jnp.float32
     use_flash_attention: bool = True       # pallas kernel on TPU when applicable
     remat: bool = False                    # rematerialize layers (memory saver)
+    # Recompute ONLY the FFN hidden (B, S, ffn_dim) in the backward: frees
+    # the largest per-layer activation for ~1 extra fc1 matmul per layer,
+    # WITHOUT re-running the flash attention kernels (full cfg.remat
+    # measured 2.5x slower because it recomputes those).  Enables larger
+    # batches on a 16 GB chip.
+    remat_ffn: bool = False
     # Sequence-parallel ring attention: set to the mesh axis name ("sp") and
     # run the model inside shard_map with the sequence axis sharded on it
     # (see parallel.sp.encode_sp).  None = dense attention.

@@ -118,6 +118,11 @@ class PretrainRunner:
                 flush(group)
                 group = []
         flush(group)
+        if n == 0:
+            import sys
+            print(f"WARNING: 0 train steps this epoch — {len(self.train_data)}"
+                  f" sequences < batch_size {self.batch_size}; lower"
+                  f" --batch_size to train on this dataset", file=sys.stderr)
         dt = time.time() - t0
         return {"loss": _to_float(jnp.concatenate(losses).mean()) if losses
                 else 0.0,

@@ -108,3 +108,28 @@ def test_remat_fwd_bwd(env):
     l, g = jax.value_and_grad(loss)(params)
     assert np.isfinite(float(l))
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
+def test_remat_ffn_matches_dense_grads(env):
+    """cfg.remat_ffn recomputes only the FFN hidden: loss and gradients must
+    be identical to the non-remat model (same params, same math)."""
+    import flax.linen as fnn
+    from pianobart_tpu.train.objective import masked_field_ce
+    cfg, rng, enc, dec, mask = env
+    model = PianoBartLM(cfg)
+    params = fnn.meta.unbox(model.init(rng, enc, dec, mask, mask))["params"]
+    cfg_r = cfg.replace(remat_ffn=True)
+    model_r = PianoBartLM(cfg_r)
+
+    def loss(m, c):
+        def fn(p):
+            out = m.apply({"params": p}, enc, dec, mask, mask, True)
+            return masked_field_ce(out, enc, jnp.ones(enc.shape), c)[0]
+        return jax.value_and_grad(fn)(params)
+
+    l0, g0 = loss(model, cfg)
+    l1, g1 = loss(model_r, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
