@@ -43,7 +43,9 @@ def _enable_compile_cache():
     except Exception:
         pass
 
-BATCH = 32
+import os
+
+BATCH = int(os.environ.get("PBX_BENCH_BATCH", "32"))
 
 
 def main() -> None:
@@ -59,7 +61,9 @@ def main() -> None:
 
     dev = jax.devices()[0]
     platform = dev.platform
-    cfg = PianoBartConfig(dtype=jnp.bfloat16)
+    cfg = PianoBartConfig(
+        dtype=jnp.bfloat16,
+        remat_ffn=os.environ.get("PBX_BENCH_REMAT_FFN", "0") == "1")
     model = PianoBartLM(cfg)
 
     B, S = BATCH, cfg.max_len

@@ -33,6 +33,11 @@ otherwise two kernels:
 
 All accumulation in f32 scratch; inputs/outputs keep the model dtype.
 Runs in interpret mode off-TPU so the same kernels are unit-tested on CPU.
+
+Fully-masked rows (every key hidden by pad+causal masks) output an
+arbitrary convex combination of v that depends on the block size — same as
+XLA softmax-of-all-NEG_INF rows, and excluded by every loss mask downstream;
+do not rely on their values.
 """
 from __future__ import annotations
 

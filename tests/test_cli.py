@@ -107,3 +107,44 @@ def test_cli_sequence_parallel_pretrain_end_to_end(tmp_path, rng, monkeypatch):
               "--hs", "64", "--layers", "1", "--ffn_dims", "64",
               "--heads", "4", "--dtype", "f32", "--name", "spbad",
               "--max_seq_len", "1024", "--mesh", "2x1x4"])
+
+
+def test_cli_concat_merges_shards(tmp_path, monkeypatch):
+    """`concat` mirrors reference concatenate.py:16-38: merge per-dataset
+    *_split.npy shards into one (N, S, 8) array."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    total = 0
+    for ds, n in (("pop", 3), ("asap", 2)):
+        os.makedirs(f"data/{ds}")
+        for split, k in (("train", n), ("test", 1), ("valid", 1)):
+            arr = rng.integers(0, 100, (k, 16, 8)).astype(np.int64)
+            np.save(f"data/{ds}/{ds}_{split}_split.npy", arr)
+            total += k
+    assert main(["concat", "--dataroot", "data", "--datasets", "pop", "asap",
+                 "--output", "pretrain.npy"]) == 0
+    merged = np.load("pretrain.npy")
+    assert merged.shape == (total, 16, 8)
+
+
+def test_cli_eval_gen_saves_stacked_outputs(tmp_path, monkeypatch):
+    """`eval-gen` decodes every test sample (tail batch padded, then cut)
+    and saves one stacked (N, S, 8) array (reference eval_generation.py)."""
+    monkeypatch.chdir(tmp_path)
+    import pianobart_tpu.vocab as V
+    rng = np.random.default_rng(1)
+    N, S = 3, 32
+    X = np.zeros((N, S, 8), dtype=np.int64)
+    for f in range(8):
+        X[..., f] = rng.integers(0, V.TOKEN_BOUNDARY[f], (N, S))
+    os.makedirs("data")
+    np.save("data/tiny_test.npy", X)
+    assert main(["eval-gen", "--dataroot", "data", "--datasets", "tiny",
+                 "--output", "gen.npy", "--hs", "64", "--layers", "1",
+                 "--ffn_dims", "64", "--heads", "4", "--dtype", "f32",
+                 "--batch_size", "2", "--max_seq_len", "32",
+                 "--mesh", "2x1x1"]) == 0
+    out = np.load("gen.npy")
+    assert out.shape == (N, S, 8)          # every sample, tail included
+    for f in range(8):                      # in-vocab (specials allowed)
+        assert (out[..., f] <= V.EOS[f]).all()
