@@ -254,13 +254,16 @@ def main():
         print(f"{name}: max|diff| vs committed = {err:.5f}", flush=True)
         assert err < 0.05, err
 
-    def measure(fn, reps=4):
+    def measure(fn, reps=10):
         y = fn()
         _ = float(y)
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             _ = float(fn())
-        return (time.perf_counter() - t0) / reps
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]   # median: robust to tunnel hiccups
 
     @jax.jit
     def noop(x):
@@ -285,10 +288,12 @@ def main():
         "base_causal":    lambda c: flash_attention(c, c, c, mask, True),
         "hl_exp2_causal": lambda c: hl_fwd(c, c, c, mask, True, exp2=True),
     }
-    for name, att in variants.items():
-        t = measure(chain(att)) - rtt
-        print(f"{name:22s} {t * 1e3:8.2f} ms ({t / 24 * 1e3:.2f} ms/module)",
-              flush=True)
+    fns = {name: chain(att) for name, att in variants.items()}
+    for sweep in range(2):                 # interleave: expose drift
+        for name, f in fns.items():
+            t = measure(f) - rtt
+            print(f"[{sweep}] {name:22s} {t * 1e3:8.2f} ms"
+                  f" ({t / 24 * 1e3:.2f} ms/module)", flush=True)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,50 @@ def main():
     ft = read_epochs(os.path.join(
         work, "result/finetune/composer_realdata/metrics.jsonl"))
 
+    # 3b. generation finetune (+FAD) from the pretrain checkpoint
+    if not os.path.exists(os.path.join(
+            work, "Data/output_generation/corpus/corpus_train.npy")):
+        sh(["tokenize", "--dataset", corpus, "--task", "generate"], cwd=work)
+    epochs_gen = int(os.environ.get("PBX_E2E_GEN_EPOCHS", "4"))
+    _, gen_s = sh(["finetune-generation", "--datasets", "corpus",
+                   "--dataroot", "Data/output_generation/corpus",
+                   "--epochs", str(epochs_gen), "--batch_size", "8",
+                   "--fad", "--fad_jit", "--name", "realdata",
+                   "--mesh", "1x1x1",
+                   "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    gen = read_epochs(os.path.join(
+        work, "result/finetune/generation_realdata/metrics.jsonl"))
+
+    # 3c. velocity finetune (token classification, label-embedding decoder)
+    if not os.path.exists(os.path.join(
+            work, "Data/output_velocity/corpus/corpus_train.npy")):
+        sh(["tokenize", "--dataset", corpus, "--task", "velocity"], cwd=work)
+    epochs_vel = int(os.environ.get("PBX_E2E_VEL_EPOCHS", "3"))
+    _, vel_s = sh(["finetune", "--task", "velocity", "--dataset", "corpus",
+                   "--dataroot", "Data/output_velocity/corpus",
+                   "--epochs", str(epochs_vel), "--batch_size", "8",
+                   "--name", "realdata", "--mesh", "1x1x1",
+                   "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    vel = read_epochs(os.path.join(
+        work, "result/finetune/velocity_realdata/metrics.jsonl"))
+
+    # 3d. batched eval-gen over the generation test split
+    _, eg_s = sh(["eval-gen", "--datasets", "corpus",
+                  "--dataroot", "Data/output_generation/corpus",
+                  "--output", "gen_eval.npy", "--batch_size", "8",
+                  "--mesh", "1x1x1",
+                  "--ckpt", "result/finetune/generation_realdata/best"],
+                 cwd=work)
+    import numpy as _np
+    eg_shape = _np.load(os.path.join(work, "gen_eval.npy")).shape
+
+    # 3e. merge the pretrain + generation-finetuned trunks (L8 on real
+    # artifacts) and drive a demo from the merged weights
+    _, mg_s = sh(["merge", "--models", "result/pretrain/realdata/best",
+                  "result/finetune/generation_realdata/best",
+                  "--method", "average_merging",
+                  "--output", "merged_params.msgpack"], cwd=work)
+
     # 4. demo continuation from a real corpus file with the trained ckpt
     some_midi = None
     for root, _, files in os.walk(corpus):
@@ -112,6 +156,9 @@ def main():
     demo_out = os.path.join(work, "continuation.mid")
     _, demo_s = sh(["demo", "--input", some_midi, "--output", demo_out,
                     "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    demo_merged = os.path.join(work, "continuation_merged.mid")
+    _, demo_m_s = sh(["demo", "--input", some_midi, "--output", demo_merged,
+                      "--ckpt", "merged_params.msgpack"], cwd=work)
 
     # ---- RESULTS.md ----
     lines = [
@@ -131,6 +178,12 @@ def main():
         f"({pre_s:.0f}s wall incl. compile)",
         f"- finetune composer: {epochs_ft} epochs from the pretrain best "
         f"checkpoint ({ft_s:.0f}s wall)",
+        f"- finetune generation (+FAD): {epochs_gen} epochs ({gen_s:.0f}s)",
+        f"- finetune velocity: {epochs_vel} epochs ({vel_s:.0f}s)",
+        f"- eval-gen: batched KV-cached decode of the full generation test "
+        f"split -> {eg_shape} ({eg_s:.0f}s)",
+        f"- merge (average) pretrain+generation trunks ({mg_s:.0f}s) -> "
+        f"demo from merged weights ({demo_m_s:.0f}s)",
         f"- demo continuation from `{os.path.relpath(some_midi, work)}` "
         f"-> continuation.mid ({demo_s:.0f}s incl. compile)",
         "",
@@ -154,6 +207,32 @@ def main():
         "|---|---|---|---|",
     ]
     for rec in ft:
+        lines.append(
+            f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+            f"| {rec['valid'].get('acc', float('nan')):.4f} "
+            f"| {rec['test'].get('acc', float('nan')):.4f} |")
+    lines += [
+        "",
+        f"## Generation finetune ({epochs_gen} epochs, field-weighted CE + FAD)",
+        "",
+        "| epoch | train loss | valid weighted acc | FAD | FAD-bar |",
+        "|---|---|---|---|---|",
+    ]
+    for rec in gen:
+        v = rec["valid"]
+        lines.append(
+            f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+            f"| {v.get('weighted_field_acc', float('nan')):.4f} "
+            f"| {v.get('fad', float('nan')):.4f} "
+            f"| {v.get('fad_bar', float('nan')):.4f} |")
+    lines += [
+        "",
+        f"## Velocity finetune (token classification)",
+        "",
+        "| epoch | train loss | valid acc | test acc |",
+        "|---|---|---|---|",
+    ]
+    for rec in vel:
         lines.append(
             f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
             f"| {rec['valid'].get('acc', float('nan')):.4f} "
