@@ -121,3 +121,29 @@ def test_ablation_step_masks_second_half(rng):
     # loss covers positions len/2+1 .. len (Ablation.py:134-139); here all
     # rows are content so len == S and the mask is the second half
     assert lm[:, S // 2 + 1:].all() and not lm[:, :S // 2].any()
+
+
+def test_pretrain_runner_warns_on_zero_steps(rng, tmp_path, capsys):
+    """A dataset smaller than batch_size must not silently report loss 0.0
+    (drop_last leaves zero train batches)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from pianobart_tpu.models import PianoBartLM, tiny_config
+    from pianobart_tpu.train.runner import PretrainRunner
+    from pianobart_tpu.train.state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    model = PianoBartLM(cfg)
+    S = cfg.max_len
+    ids = jnp.zeros((1, S, 8), jnp.int32)
+    m = jnp.ones((1, S))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), ids, ids, m, m))
+    state = TrainState.create(apply_fn=model.apply,
+                              params=params["params"], tx=make_optimizer())
+    data = np.zeros((1, S, 8), dtype=np.int32)   # 1 sequence < batch_size 4
+    runner = PretrainRunner(state, cfg, data, data, str(tmp_path),
+                            batch_size=4)
+    out = runner.train_epoch()
+    assert out["steps"] == 0
+    assert "0 train steps" in capsys.readouterr().err
