@@ -96,6 +96,16 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
             from ..train.state import CheckpointManager
             restored = CheckpointManager(ckpt).restore_params(params["params"])
             params = {"params": restored}
+        elif ckpt.endswith(".msgpack"):
+            # merged-model output of `pbx merge` (flax serialization)
+            from flax import serialization
+            with open(ckpt, "rb") as f:
+                tree = serialization.msgpack_restore(f.read())
+            merged = dict(params["params"])
+            for k, v in tree.items():
+                if k in merged:
+                    merged[k] = v
+            params = {"params": merged}
         else:
             from ..compat.torch_import import import_checkpoint
             tree = import_checkpoint(ckpt, cfg)

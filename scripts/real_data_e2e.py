@@ -20,6 +20,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def dur(sec):
+    return "cached from a previous stage run" if sec == 0 else f"{sec:.0f}s"
+
+
 def sh(args, cwd, env=None):
     print(f"+ {' '.join(args)}", flush=True)
     e = dict(os.environ)
@@ -91,58 +95,74 @@ def main():
     # composer directories -> 10 classes, not the Pianist8 default of 8)
     n_cls = len(json.load(open(os.path.join(
         work, "Data/output_composer/corpus/corpus_composer.json"))))
-    _, ft_s = sh(["finetune", "--task", "composer", "--dataset", "corpus",
-                  "--dataroot", "Data/output_composer/corpus",
-                  "--epochs", str(epochs_ft), "--batch_size", "8",
-                  "--class_num", str(n_cls),
-                  "--name", "realdata", "--mesh", "1x1x1",
-                  "--ckpt", "result/pretrain/realdata/best"], cwd=work)
-    ft = read_epochs(os.path.join(
-        work, "result/finetune/composer_realdata/metrics.jsonl"))
+    ft_jsonl = os.path.join(
+        work, "result/finetune/composer_realdata/metrics.jsonl")
+    ft_s = 0.0
+    if not (os.path.exists(ft_jsonl)
+            and len(read_epochs(ft_jsonl)) >= epochs_ft):
+        _, ft_s = sh(["finetune", "--task", "composer", "--dataset", "corpus",
+                      "--dataroot", "Data/output_composer/corpus",
+                      "--epochs", str(epochs_ft), "--batch_size", "8",
+                      "--class_num", str(n_cls),
+                      "--name", "realdata", "--mesh", "1x1x1",
+                      "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    ft = read_epochs(ft_jsonl)
 
     # 3b. generation finetune (+FAD) from the pretrain checkpoint
     if not os.path.exists(os.path.join(
-            work, "Data/output_generation/corpus/corpus_train.npy")):
+            work, "Data/output_generate/corpus/corpus_train.npy")):
         sh(["tokenize", "--dataset", corpus, "--task", "generate"], cwd=work)
     epochs_gen = int(os.environ.get("PBX_E2E_GEN_EPOCHS", "4"))
-    _, gen_s = sh(["finetune-generation", "--datasets", "corpus",
-                   "--dataroot", "Data/output_generation/corpus",
-                   "--epochs", str(epochs_gen), "--batch_size", "8",
-                   "--fad", "--fad_jit", "--name", "realdata",
-                   "--mesh", "1x1x1",
-                   "--ckpt", "result/pretrain/realdata/best"], cwd=work)
-    gen = read_epochs(os.path.join(
-        work, "result/finetune/generation_realdata/metrics.jsonl"))
+    gen_jsonl = os.path.join(
+        work, "result/finetune/generation_realdata/metrics.jsonl")
+    gen_s = 0.0
+    if not (os.path.exists(gen_jsonl)
+            and len(read_epochs(gen_jsonl)) >= epochs_gen):
+        _, gen_s = sh(["finetune-generation", "--datasets", "corpus",
+                       "--dataroot", "Data/output_generate/corpus",
+                       "--epochs", str(epochs_gen), "--batch_size", "8",
+                       "--fad", "--fad_jit", "--name", "realdata",
+                       "--mesh", "1x1x1",
+                       "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    gen = read_epochs(gen_jsonl)
 
     # 3c. velocity finetune (token classification, label-embedding decoder)
     if not os.path.exists(os.path.join(
             work, "Data/output_velocity/corpus/corpus_train.npy")):
         sh(["tokenize", "--dataset", corpus, "--task", "velocity"], cwd=work)
     epochs_vel = int(os.environ.get("PBX_E2E_VEL_EPOCHS", "3"))
-    _, vel_s = sh(["finetune", "--task", "velocity", "--dataset", "corpus",
-                   "--dataroot", "Data/output_velocity/corpus",
-                   "--epochs", str(epochs_vel), "--batch_size", "8",
-                   "--name", "realdata", "--mesh", "1x1x1",
-                   "--ckpt", "result/pretrain/realdata/best"], cwd=work)
-    vel = read_epochs(os.path.join(
-        work, "result/finetune/velocity_realdata/metrics.jsonl"))
+    vel_jsonl = os.path.join(
+        work, "result/finetune/velocity_realdata/metrics.jsonl")
+    vel_s = 0.0
+    if not (os.path.exists(vel_jsonl)
+            and len(read_epochs(vel_jsonl)) >= epochs_vel):
+        _, vel_s = sh(["finetune", "--task", "velocity", "--dataset",
+                       "corpus", "--dataroot", "Data/output_velocity/corpus",
+                       "--epochs", str(epochs_vel), "--batch_size", "8",
+                       "--name", "realdata", "--mesh", "1x1x1",
+                       "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    vel = read_epochs(vel_jsonl)
 
     # 3d. batched eval-gen over the generation test split
-    _, eg_s = sh(["eval-gen", "--datasets", "corpus",
-                  "--dataroot", "Data/output_generation/corpus",
-                  "--output", "gen_eval.npy", "--batch_size", "8",
-                  "--mesh", "1x1x1",
-                  "--ckpt", "result/finetune/generation_realdata/best"],
-                 cwd=work)
+    eg_s = 0.0
+    if not os.path.exists(os.path.join(work, "gen_eval.npy")):
+        _, eg_s = sh(["eval-gen", "--datasets", "corpus",
+                  "--dataroot", "Data/output_generate/corpus",
+                      "--output", "gen_eval.npy", "--batch_size", "8",
+                      "--mesh", "1x1x1",
+                      "--ckpt", "result/finetune/generation_realdata/best"],
+                     cwd=work)
     import numpy as _np
     eg_shape = _np.load(os.path.join(work, "gen_eval.npy")).shape
 
     # 3e. merge the pretrain + generation-finetuned trunks (L8 on real
     # artifacts) and drive a demo from the merged weights
-    _, mg_s = sh(["merge", "--models", "result/pretrain/realdata/best",
-                  "result/finetune/generation_realdata/best",
-                  "--method", "average_merging",
-                  "--output", "merged_params.msgpack"], cwd=work)
+    mg_s = 0.0
+    if not os.path.exists(os.path.join(work, "merged_params.msgpack")):
+        _, mg_s = sh(["merge", "--models", "result/pretrain/realdata/best",
+                      "result/finetune/generation_realdata/best",
+                      "--method", "average_merging",
+                      "--output", "merged_params.msgpack"], cwd=work)
 
     # 4. demo continuation from a real corpus file with the trained ckpt
     some_midi = None
@@ -173,16 +193,16 @@ def main():
         "ran through the public CLI on the attached TPU v5e.",
         "",
         f"- corpus: 400 files -> tokenize (pretrain+composer+emotion) in "
-        f"{tok_s:.0f}s; {n_windows} x1024 pretrain windows",
+        f"{dur(tok_s)}; {n_windows} x1024 pretrain windows",
         f"- pretrain: flagship model, batch 16, {epochs_pre} epochs "
-        f"({pre_s:.0f}s wall incl. compile)",
+        f"({dur(pre_s)} wall incl. compile)",
         f"- finetune composer: {epochs_ft} epochs from the pretrain best "
-        f"checkpoint ({ft_s:.0f}s wall)",
-        f"- finetune generation (+FAD): {epochs_gen} epochs ({gen_s:.0f}s)",
-        f"- finetune velocity: {epochs_vel} epochs ({vel_s:.0f}s)",
+        f"checkpoint ({dur(ft_s)} wall)",
+        f"- finetune generation (+FAD): {epochs_gen} epochs ({dur(gen_s)})",
+        f"- finetune velocity: {epochs_vel} epochs ({dur(vel_s)})",
         f"- eval-gen: batched KV-cached decode of the full generation test "
-        f"split -> {eg_shape} ({eg_s:.0f}s)",
-        f"- merge (average) pretrain+generation trunks ({mg_s:.0f}s) -> "
+        f"split -> {eg_shape} ({dur(eg_s)})",
+        f"- merge (average) pretrain+generation trunks ({dur(mg_s)}) -> "
         f"demo from merged weights ({demo_m_s:.0f}s)",
         f"- demo continuation from `{os.path.relpath(some_midi, work)}` "
         f"-> continuation.mid ({demo_s:.0f}s incl. compile)",
@@ -215,14 +235,15 @@ def main():
         "",
         f"## Generation finetune ({epochs_gen} epochs, field-weighted CE + FAD)",
         "",
-        "| epoch | train loss | valid weighted acc | FAD | FAD-bar |",
-        "|---|---|---|---|---|",
+        "| epoch | train loss | valid loss | mean field acc | FAD | FAD-bar |",
+        "|---|---|---|---|---|---|",
     ]
     for rec in gen:
         v = rec["valid"]
+        mean_acc = sum(v["field_acc"]) / len(v["field_acc"])
         lines.append(
             f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
-            f"| {v.get('weighted_field_acc', float('nan')):.4f} "
+            f"| {v['loss']:.4f} | {mean_acc:.4f} "
             f"| {v.get('fad', float('nan')):.4f} "
             f"| {v.get('fad_bar', float('nan')):.4f} |")
     lines += [

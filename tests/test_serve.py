@@ -154,3 +154,34 @@ def test_generation_service_error_propagates():
     svc._decode_batch = lambda intros, seeds: intros
     out = svc.submit(np.ones((4, 8), np.int32))
     np.testing.assert_array_equal(out, np.ones((4, 8), np.int32))
+
+
+def test_demo_loads_merged_msgpack(tmp_path, rng, monkeypatch):
+    """`demo --ckpt merged_params.msgpack` (output of `pbx merge`) grafts the
+    merged trunk — regression: this path raised UnpicklingError (the loader
+    fell through to the torch-pickle branch)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn, serialization
+    from pianobart_tpu.models import PianoBartConfig, PianoBartLM
+    from pianobart_tpu.serve.demo import run_demo
+
+    monkeypatch.chdir(tmp_path)
+    # exactly the config run_demo builds from its flags (default emb_size)
+    cfg = PianoBartConfig(d_model=64, encoder_layers=2, decoder_layers=2,
+                          ffn_dim=128, num_heads=4, max_len=32,
+                          dtype=jnp.bfloat16)
+    model = PianoBartLM(cfg)
+    S = cfg.max_len
+    ids = jnp.zeros((1, S, 8), jnp.int32)
+    m = jnp.ones((1, S))
+    params = nn.meta.unbox(
+        model.init(jax.random.PRNGKey(0), ids, ids, m, m))["params"]
+    with open("merged.msgpack", "wb") as f:
+        f.write(serialization.to_bytes({"pianobart": params["pianobart"]}))
+
+    make_song(rng, n_notes=30).dump("in.mid")
+    run_demo(input_path="in.mid", output_path="out.mid",
+             ckpt="merged.msgpack", max_seq_len=cfg.max_len,
+             hs=cfg.d_model, layers=cfg.encoder_layers,
+             ffn_dims=cfg.ffn_dim, heads=cfg.num_heads)
