@@ -143,6 +143,50 @@ def main():
                        "--ckpt", "result/pretrain/realdata/best"], cwd=work)
     vel = read_epochs(vel_jsonl)
 
+    # 3c2. emotion finetune (4-way, labels from the QX_ file-name prefixes)
+    epochs_emo = int(os.environ.get("PBX_E2E_EMO_EPOCHS", "3"))
+    emo_jsonl = os.path.join(
+        work, "result/finetune/emotion_realdata/metrics.jsonl")
+    emo_s = 0.0
+    if not (os.path.exists(emo_jsonl)
+            and len(read_epochs(emo_jsonl)) >= epochs_emo):
+        _, emo_s = sh(["finetune", "--task", "emotion", "--dataset", "corpus",
+                       "--dataroot", "Data/output_emotion/corpus",
+                       "--epochs", str(epochs_emo), "--batch_size", "8",
+                       "--name", "realdata", "--mesh", "1x1x1",
+                       "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    emo = read_epochs(emo_jsonl)
+
+    # 3c3. melody finetune (token classification, 9-tuple labels)
+    if not os.path.exists(os.path.join(
+            work, "Data/output_melody/corpus/corpus_train.npy")):
+        sh(["tokenize", "--dataset", corpus, "--task", "melody"], cwd=work)
+    epochs_mel = int(os.environ.get("PBX_E2E_MEL_EPOCHS", "3"))
+    mel_jsonl = os.path.join(
+        work, "result/finetune/melody_realdata/metrics.jsonl")
+    mel_s = 0.0
+    if not (os.path.exists(mel_jsonl)
+            and len(read_epochs(mel_jsonl)) >= epochs_mel):
+        _, mel_s = sh(["finetune", "--task", "melody", "--dataset", "corpus",
+                       "--dataroot", "Data/output_melody/corpus",
+                       "--epochs", str(epochs_mel), "--batch_size", "8",
+                       "--name", "realdata", "--mesh", "1x1x1",
+                       "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+    mel = read_epochs(mel_jsonl)
+
+    # 3c4. ablation trainer (no-pretrain second-half reconstruction)
+    epochs_abl = int(os.environ.get("PBX_E2E_ABL_EPOCHS", "2"))
+    abl_jsonl = os.path.join(
+        work, "result/finetune/ablation_realdata/metrics.jsonl")
+    abl_s = 0.0
+    if not (os.path.exists(abl_jsonl)
+            and len(read_epochs(abl_jsonl)) >= epochs_abl):
+        _, abl_s = sh(["ablation", "--datasets", "corpus",
+                       "--dataroot", "Data/output_generate/corpus",
+                       "--epochs", str(epochs_abl), "--batch_size", "8",
+                       "--name", "realdata", "--mesh", "1x1x1"], cwd=work)
+    abl = read_epochs(abl_jsonl)
+
     # 3d. batched eval-gen over the generation test split
     eg_s = 0.0
     if not os.path.exists(os.path.join(work, "gen_eval.npy")):
@@ -200,6 +244,10 @@ def main():
         f"checkpoint ({dur(ft_s)} wall)",
         f"- finetune generation (+FAD): {epochs_gen} epochs ({dur(gen_s)})",
         f"- finetune velocity: {epochs_vel} epochs ({dur(vel_s)})",
+        f"- finetune emotion: {epochs_emo} epochs ({dur(emo_s)})",
+        f"- finetune melody: {epochs_mel} epochs ({dur(mel_s)})",
+        f"- ablation (no-pretrain reconstruction): {epochs_abl} epochs "
+        f"({dur(abl_s)})",
         f"- eval-gen: batched KV-cached decode of the full generation test "
         f"split -> {eg_shape} ({dur(eg_s)})",
         f"- merge (average) pretrain+generation trunks ({dur(mg_s)}) -> "
@@ -258,6 +306,24 @@ def main():
             f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
             f"| {rec['valid'].get('acc', float('nan')):.4f} "
             f"| {rec['test'].get('acc', float('nan')):.4f} |")
+    def acc_table(title, recs):
+        rows = ["", f"## {title}", "",
+                "| epoch | train loss | valid acc | test acc |",
+                "|---|---|---|---|"]
+        for rec in recs:
+            rows.append(
+                f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+                f"| {rec['valid'].get('acc', float('nan')):.4f} "
+                f"| {rec['test'].get('acc', float('nan')):.4f} |")
+        return rows
+
+    lines += acc_table("Emotion finetune (4-way classification)", emo)
+    lines += acc_table("Melody finetune (token classification)", mel)
+    lines += ["", "## Ablation (second-half reconstruction, no pretrain)",
+              "", "| epoch | train loss | valid loss |", "|---|---|---|"]
+    for rec in abl:
+        lines.append(f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+                     f"| {rec['valid']['loss']:.4f} |")
     first, last = pre[0], pre[-1]
     lines += [
         "",
