@@ -122,9 +122,14 @@ def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
         with open(args.ckpt, "rb") as f:
             tree = serialization.msgpack_restore(f.read())
         params = dict(state.params)
-        for k, v in tree.items():
-            if k in params:
-                params[k] = v
+        grafted = [k for k in tree if k in params]
+        if not grafted:
+            raise SystemExit(
+                f"{args.ckpt} contains keys {sorted(tree)} but none match "
+                f"this model's parameter tree — wrong architecture or not a "
+                f"`pbx merge` output")
+        for k in grafted:
+            params[k] = tree[k]
         return state.replace(params=params)
     from .compat.torch_import import import_checkpoint
     tree = import_checkpoint(args.ckpt, cfg, kind=kind)

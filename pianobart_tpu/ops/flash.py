@@ -56,16 +56,19 @@ NEG_INF = -1e30
 # operands in the model dtype (bf16 under training) — measured SLOWER on
 # v5e (the kernels are VPU-bound; the extra (S,S) cast passes cost more
 # than the MXU passes they save), kept as a switch for re-evaluation.
+# Read ONCE at import: reading inside the kernel would make the flag a
+# silent no-op after the first jit compile (env is not a jit cache key).
+_BF16_OPERANDS = os.environ.get("PBX_FLASH_BF16", "0") == "1"
 
 
 def _mxu_in(x):
-    if os.environ.get("PBX_FLASH_BF16", "0") == "1":
+    if _BF16_OPERANDS:
         return x
     return x.astype(jnp.float32)
 
 
 def _p_for_dot(p, other_dtype):
-    if os.environ.get("PBX_FLASH_BF16", "0") == "1":
+    if _BF16_OPERANDS:
         return p.astype(other_dtype)
     return p
 

@@ -29,8 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .flash import (_bwd_fused_call, _dkv_call, _dq_call, _fused_eligible,
-                    _fwd as _flash_fwd)
+from .flash import (_bwd_fused_call, _delta as _flash_delta, _dkv_call,
+                    _dq_call, _fused_eligible, _fwd as _flash_fwd)
 
 __all__ = ["ring_attention", "ring_attention_sharded"]
 
@@ -121,7 +121,7 @@ def _ring_vjp_bwd(causal, axis_name, res, g):
     dof = flat(g).astype(jnp.float32)
     outf = flat(out).astype(jnp.float32)
     lsef = lse                                    # (B, H, S)
-    delta = ((dof * outf).reshape(B, S, H, D).sum(-1).transpose(0, 2, 1))
+    delta = _flash_delta(dof, outf, H)            # (B, H, S)
 
     def grads_for_block(kbf, vbf, mbf, block_causal):
         Sq_l, Skv_l = qf.shape[1], kbf.shape[1]

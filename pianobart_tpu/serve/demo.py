@@ -102,9 +102,14 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
             with open(ckpt, "rb") as f:
                 tree = serialization.msgpack_restore(f.read())
             merged = dict(params["params"])
-            for k, v in tree.items():
-                if k in merged:
-                    merged[k] = v
+            grafted = [k for k in tree if k in merged]
+            if not grafted:
+                raise SystemExit(
+                    f"{ckpt} contains keys {sorted(tree)} but none match "
+                    f"this model's parameter tree {sorted(merged)} — wrong "
+                    f"architecture or not a `pbx merge` output")
+            for k in grafted:
+                merged[k] = tree[k]
             params = {"params": merged}
         else:
             from ..compat.torch_import import import_checkpoint

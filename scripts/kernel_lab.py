@@ -1,31 +1,29 @@
 """Kernel experiment lab: flash-forward variants, measured head-to-head.
 
-Variants (all produce identical attention output, checked vs the committed
-kernel before timing):
+Every variant is correctness-checked against the committed kernel before
+timing.  ``main()`` measures the committed kernel vs the exp2-domain
+softmax variants; set ``PBX_LAB_KT=1`` to also measure the
+pre-transposed-kT variants.  Recorded verdicts (v5e, B=32, S=1024,
+interleaved medians — see ROADMAP.md):
 
-  base    — committed _fwd (H-in-lanes, f32 MXU operands)
-  kt_f32  — k pre-transposed to (B, H*D, S): both dots canonical
-            (lanes x sublanes), operands upcast f32
-  kt_bf16 — same layout, operands kept bf16 (native single-pass MXU)
-  kt_bf16_exp2 — + softmax in exp2 domain (log2e folded into q inside the
-            kernel; saves the ln2 multiply hidden in every exp)
-
-Rationale: s = q·kT contracts BOTH operands on the lane dim; for bf16 the
-in-kernel transpose/repack of k is expensive (measured: bf16 operands were
-SLOWER than f32 in the committed layout).  Feeding kT makes the contraction
-canonical so bf16 can actually win.
+  base (H-in-lanes, f32 operands)  2.97-3.00 ms/module   <- committed
+  hl_exp2 (exp2-domain softmax)    2.92-3.24 (noise; ~5% on causal only)
+  kt_f32  (k pre-transposed)       +5%  — the XLA transpose costs more
+  kt_bf16 (bf16 MXU operands)      +60% — cast passes dominate
+  causal 512-blocks                2x slower than 1024
 
 Usage: python scripts/kernel_lab.py
 """
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -247,8 +245,16 @@ def main():
 
     # correctness vs committed kernel (bf16 tolerance)
     ref = flash_attention(q, q, q, mask, False)
-    for name, kwargs in [("hl_exp2", None)]:
-        out = hl_fwd(q, q, q, mask, False, exp2=True)
+    checks = {"hl_exp2": lambda: hl_fwd(q, q, q, mask, False, exp2=True)}
+    if os.environ.get("PBX_LAB_KT") == "1":
+        checks.update({
+            "kt_f32": lambda: kt_fwd(q, q, q, mask, False, upcast=True),
+            "kt_bf16": lambda: kt_fwd(q, q, q, mask, False, upcast=False),
+            "kt_bf16_exp2": lambda: kt_fwd(q, q, q, mask, False,
+                                           upcast=False, exp2=True),
+        })
+    for name, fn in checks.items():
+        out = fn()
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                     - ref.astype(jnp.float32))))
         print(f"{name}: max|diff| vs committed = {err:.5f}", flush=True)
@@ -288,6 +294,13 @@ def main():
         "base_causal":    lambda c: flash_attention(c, c, c, mask, True),
         "hl_exp2_causal": lambda c: hl_fwd(c, c, c, mask, True, exp2=True),
     }
+    if os.environ.get("PBX_LAB_KT") == "1":
+        variants.update({
+            "kt_f32":  lambda c: kt_fwd(c, c, c, mask, False, upcast=True),
+            "kt_bf16": lambda c: kt_fwd(c, c, c, mask, False, upcast=False),
+            "kt_bf16_causal_b512": lambda c: kt_fwd(c, c, c, mask, True,
+                                                    upcast=False, block=512),
+        })
     fns = {name: chain(att) for name, att in variants.items()}
     for sweep in range(2):                 # interleave: expose drift
         for name, f in fns.items():

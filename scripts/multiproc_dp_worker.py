@@ -13,9 +13,10 @@ Usage (spawned by tests/test_multiprocess_dp.py, one call per process):
 """
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(pid: int, nprocs: int, port: int, outfile: str) -> None:

@@ -112,3 +112,35 @@ def test_fully_padded_query_rows_are_finite():
     mask = jnp.ones((B, S)).at[0, :].set(0.0)  # one sample fully masked
     out = flash_attention(q, k, v, mask, False, BLK, BLK)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_bf16_operand_switch(monkeypatch):
+    """PBX_FLASH_BF16 path (raw bf16 MXU operands): forward AND gradients
+    must still match the XLA reference.  The flag is read once at import, so
+    the test toggles the module global directly."""
+    from pianobart_tpu.ops import flash as flash_mod
+    monkeypatch.setattr(flash_mod, "_BF16_OPERANDS", True)
+    q, k, v, mask = setup(seed=4)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    out = flash_mod.flash_attention(qb, kb, vb, mask, True, BLK, BLK)
+    expect = ref(qb, kb, vb, mask, True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(expect, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+    def loss_flash(q_, k_, v_):
+        o = flash_mod.flash_attention(q_, k_, v_, mask, True, BLK, BLK)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q_, k_, v_):
+        o = ref(q_, k_, v_, mask, True)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, vb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qb, kb, vb)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1.5e-1, atol=1.5e-1,
+                                   err_msg=f"d{name} mismatch (bf16 operands)")
