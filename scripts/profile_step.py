@@ -67,36 +67,43 @@ def report():
         return
     xp = max(xplanes, key=os.path.getmtime)
     print("xplane:", xp, f"({os.path.getsize(xp)} bytes)", flush=True)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    for tool in ("op_profile", "framework_op_stats"):
+    # the standalone `xprof` package ships a converter that works with the
+    # installed protobuf; tensorboard_plugin_profile 2.13's does not.
+    from xprof.convert import raw_to_tool_data as rtd
+    data, _ = rtd.xspace_to_tool_data([xp], "op_profile", {})
+    if isinstance(data, bytes):
         try:
-            data, _ = rtd.xspace_to_tool_data([xp], tool, {})
-        except Exception as exc:
-            print(f"{tool} failed: {type(exc).__name__}: {exc}", flush=True)
-            continue
-        out = f"/tmp/pbx_{tool}.json"
-        if isinstance(data, bytes):
-            try:
-                data = gzip.decompress(data)
-            except Exception:
-                pass
-            data = data.decode("utf-8", errors="replace")
-        with open(out, "w") as f:
-            f.write(data)
-        print(f"wrote {out} ({len(data)} chars)", flush=True)
-        if tool == "op_profile":
-            try:
-                j = json.loads(data)
-                cats = j.get("byCategory", {}).get("children", [])
-                total = j.get("byCategory", {}).get("metrics", {})
-                print("total:", total, flush=True)
-                for c in cats[:15]:
-                    m = c.get("metrics", {})
-                    print(f"  {c.get('name', '?'):40s} "
-                          f"time={m.get('time', 0):.4f} "
-                          f"flops={m.get('flops', 0):.4f}", flush=True)
-            except Exception as exc:
-                print("summary parse failed:", exc, flush=True)
+            data = gzip.decompress(data)
+        except Exception:
+            pass
+        data = data.decode("utf-8", errors="replace")
+    out = "/tmp/pbx_op_profile.json"
+    with open(out, "w") as f:
+        f.write(data)
+    print(f"wrote {out} ({len(data)} chars)", flush=True)
+    j = json.loads(data)
+    root = j.get("byProgramExcludeIdle") or j.get("byProgram") or {}
+
+    def rt(n):
+        return n.get("metrics", {}).get("rawTime", 0)
+
+    progs = root.get("children", [])
+    if not progs:
+        print("no programs in op_profile", flush=True)
+        return
+    main_prog = max(progs, key=rt)
+    cats = main_prog.get("children", [])
+    total = sum(rt(c) for c in cats) or 1
+    print(f"program {main_prog.get('name')}: "
+          f"{total / 1e12:.3f} s of category time", flush=True)
+    for c in sorted(cats, key=rt, reverse=True)[:12]:
+        m = c.get("metrics", {})
+        bw = (m.get("bandwidthUtils") or [0])[0]
+        print(f"  {rt(c) / total * 100:6.2f}%  {rt(c) / 1e12:7.3f}s  "
+              f"bw={bw:.2f}  {c.get('name', '?')}", flush=True)
+        for cc in sorted(c.get("children", []), key=rt, reverse=True)[:3]:
+            print(f"        {rt(cc) / total * 100:5.2f}%  "
+                  f"{cc.get('name', '?')[:60]}", flush=True)
 
 
 if __name__ == "__main__":
