@@ -103,3 +103,38 @@ def test_generate_force_full(lm):
     # every row is a content octuple: no specials anywhere
     pad = np.asarray(V.PAD)
     assert (out < pad).all()
+
+
+def test_vectorized_octuple_sampling_matches_per_field(lm):
+    """sample_octuple (one padded (B,8,Vmax) pass) must produce the same
+    per-field marginal distribution as the scalar nucleus_sample path."""
+    import jax
+    import jax.numpy as jnp
+    from pianobart_tpu.models.heads import split_fields
+    from pianobart_tpu.ops.sampling import (DEFAULT_TEMPERATURE,
+                                            DEFAULT_TOP_P)
+    cfg = lm[0]
+    V = cfg.total_vocab
+    rng = jax.random.PRNGKey(7)
+    logits = jax.random.normal(rng, (1, V)) * 2.0
+
+    N = 4000
+    keys = jax.random.split(jax.random.PRNGKey(1), N)
+    batched = jax.vmap(lambda k: sample_octuple(
+        k, logits, cfg, DEFAULT_TEMPERATURE, DEFAULT_TOP_P))(keys)
+    batched = np.asarray(batched)[:, 0, :]                  # (N, 8)
+
+    fields = split_fields(logits[:, None, :], cfg)
+    for f in (3, 4, 7):                                     # the p=0.9 fields
+        fl = fields[f][:, 0, :]
+        ref_toks = np.asarray(jax.vmap(
+            lambda k: nucleus_sample(k, fl, DEFAULT_TOP_P[f],
+                                     DEFAULT_TEMPERATURE[f]))(
+            jax.random.split(jax.random.PRNGKey(2), N)))[:, 0]
+        got = np.bincount(batched[:, f], minlength=cfg.field_sizes[f]) / N
+        want = np.bincount(ref_toks, minlength=cfg.field_sizes[f]) / N
+        # total-variation distance between the two empirical marginals
+        tv = 0.5 * np.abs(got - want).sum()
+        assert tv < 0.08, (f, tv)
+    for f in (0, 1, 2, 5, 6):                               # p=1 -> greedy
+        assert (batched[:, f] == batched[0, f]).all()
