@@ -28,10 +28,15 @@ DEFAULT_TEMPERATURE: Tuple[float, ...] = (1.2, 1.2, 5.0, 1.0, 2.0, 5.0, 5.0, 1.2
 DEFAULT_TOP_P: Tuple[float, ...] = (1.0, 1.0, 1.0, 0.9, 0.9, 1.0, 1.0, 0.9)
 
 
-def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
-                   temperature: float) -> jax.Array:
-    """Sample one token id per row from (B, V) logits."""
-    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+def _nucleus_core(rng: jax.Array, logits: jax.Array, top_p: jax.Array,
+                  temperature: jax.Array) -> jax.Array:
+    """Nucleus sampling over the last axis of (..., V) f32 logits.
+
+    ``top_p``/``temperature`` broadcast against the leading axes.  ONE
+    implementation serves both the scalar per-field path and the vectorized
+    (B, 8, Vmax) decode path.
+    """
+    probs = jax.nn.softmax(logits / temperature, axis=-1)
     # Renormalize with the reference's +1e-5 slack (model.py:85): keeps the
     # cumulative sum strictly below 1 so p=1.0 selects exactly the top-1.
     probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-5)
@@ -44,13 +49,21 @@ def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
     # (reference nucleus(), model.py:84-98).
     first_exceed = jnp.argmax(exceeded, axis=-1, keepdims=True)
     last_index = jnp.where(any_exceeded, first_exceed + 1, 1)
-    ranks = jnp.arange(probs.shape[-1])[None, :]
+    shape = [1] * (logits.ndim - 1) + [logits.shape[-1]]
+    ranks = jnp.arange(logits.shape[-1]).reshape(shape)
     keep = ranks < last_index
     masked = jnp.where(keep, sorted_probs, 0.0)
     # categorical over the renormalized candidate set (Gumbel-max on logs)
     logp = jnp.log(jnp.maximum(masked, 1e-38)) + jnp.where(keep, 0.0, -1e9)
     choice = jax.random.categorical(rng, logp, axis=-1)
-    return jnp.take_along_axis(order, choice[:, None], axis=-1)[:, 0]
+    return jnp.take_along_axis(order, choice[..., None], axis=-1)[..., 0]
+
+
+def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
+                   temperature: float) -> jax.Array:
+    """Sample one token id per row from (B, V) logits."""
+    return _nucleus_core(rng, logits.astype(jnp.float32),
+                         jnp.float32(top_p), jnp.float32(temperature))
 
 
 def sample_octuple(
@@ -77,23 +90,7 @@ def sample_octuple(
          for i in range(cfg.n_fields)], axis=1)            # (B, 8, Vmax)
     t = jnp.asarray(temperature, jnp.float32)[None, :, None]
     p = jnp.asarray(top_p, jnp.float32)[None, :, None]
-
-    probs = jax.nn.softmax(padded / t, axis=-1)
-    # reference's +1e-5 slack (model.py:85): p=1.0 decodes greedily
-    probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-5)
-    order = jnp.argsort(-probs, axis=-1)
-    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
-    csum = jnp.cumsum(sorted_probs, axis=-1)
-    exceeded = csum > p
-    any_exceeded = exceeded.any(axis=-1, keepdims=True)
-    first_exceed = jnp.argmax(exceeded, axis=-1, keepdims=True)
-    last_index = jnp.where(any_exceeded, first_exceed + 1, 1)
-    ranks = jnp.arange(Vmax)[None, None, :]
-    keep = ranks < last_index
-    masked = jnp.where(keep, sorted_probs, 0.0)
-    logp = jnp.log(jnp.maximum(masked, 1e-38)) + jnp.where(keep, 0.0, -1e9)
-    choice = jax.random.categorical(rng, logp, axis=-1)    # (B, 8)
-    toks = jnp.take_along_axis(order, choice[..., None], axis=-1)[..., 0]
+    toks = _nucleus_core(rng, padded, p, t)                # (B, 8)
     return toks.astype(jnp.int32)
 
 

@@ -70,7 +70,14 @@ def report():
     # the standalone `xprof` package ships a converter that works with the
     # installed protobuf; tensorboard_plugin_profile 2.13's does not.
     from xprof.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([xp], "op_profile", {})
+    try:
+        data, _ = rtd.xspace_to_tool_data([xp], "op_profile", {})
+    except Exception as exc:
+        # the capture is the expensive part; never discard it over a
+        # converter hiccup — the xplane stays on disk for --report-only
+        print(f"op_profile conversion failed: {type(exc).__name__}: {exc}",
+              flush=True)
+        return
     if isinstance(data, bytes):
         try:
             data = gzip.decompress(data)

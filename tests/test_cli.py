@@ -154,16 +154,14 @@ def test_cli_msgpack_ckpt_mismatch_fails_fast(tmp_path, monkeypatch):
     """--ckpt pointing at a .msgpack whose keys match nothing in the model
     must exit with guidance instead of training from random init."""
     monkeypatch.chdir(tmp_path)
-    import numpy as np_
     from flax import serialization
     with open("bogus.msgpack", "wb") as f:
-        f.write(serialization.to_bytes({"wrong_key": {"w": np_.zeros(3)}}))
+        f.write(serialization.to_bytes({"wrong_key": {"w": np.zeros(3)}}))
     os.makedirs("data")
-    X = np_.zeros((4, 32, 8), dtype=np_.int64)
-    np_.save("data/data_train_split.npy", X)
-    np_.save("data/data_test_split.npy", X)
-    import pytest as pt
-    with pt.raises(SystemExit, match="none match"):
+    X = np.zeros((4, 32, 8), dtype=np.int64)
+    np.save("data/data_train_split.npy", X)
+    np.save("data/data_test_split.npy", X)
+    with pytest.raises(SystemExit, match="none match"):
         main(["pretrain", "--dataroot", ".", "--datasets", "data",
               "--batch_size", "2", "--epochs", "1", "--hs", "64",
               "--layers", "1", "--ffn_dims", "64", "--heads", "4",

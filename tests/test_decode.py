@@ -137,4 +137,5 @@ def test_vectorized_octuple_sampling_matches_per_field(lm):
         tv = 0.5 * np.abs(got - want).sum()
         assert tv < 0.08, (f, tv)
     for f in (0, 1, 2, 5, 6):                               # p=1 -> greedy
-        assert (batched[:, f] == batched[0, f]).all()
+        want = int(np.asarray(fields[f][:, 0, :].argmax(-1))[0])
+        assert (batched[:, f] == want).all()
