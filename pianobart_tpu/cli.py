@@ -118,19 +118,9 @@ def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
         return state.replace(params=params)
     if args.ckpt.endswith(".msgpack"):
         # merged-model output of `pbx merge`
-        from flax import serialization
-        with open(args.ckpt, "rb") as f:
-            tree = serialization.msgpack_restore(f.read())
-        params = dict(state.params)
-        grafted = [k for k in tree if k in params]
-        if not grafted:
-            raise SystemExit(
-                f"{args.ckpt} contains keys {sorted(tree)} but none match "
-                f"this model's parameter tree — wrong architecture or not a "
-                f"`pbx merge` output")
-        for k in grafted:
-            params[k] = tree[k]
-        return state.replace(params=params)
+        from .train.state import load_merged_msgpack
+        return state.replace(
+            params=load_merged_msgpack(args.ckpt, state.params))
     from .compat.torch_import import import_checkpoint
     tree = import_checkpoint(args.ckpt, cfg, kind=kind)
     # graft whatever subtrees match (trunk-only checkpoints into full models)

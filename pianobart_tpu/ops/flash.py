@@ -61,6 +61,23 @@ NEG_INF = -1e30
 _BF16_OPERANDS = os.environ.get("PBX_FLASH_BF16", "0") == "1"
 
 
+_warned_bf16_freeze = False
+
+
+def _check_bf16_flag_freeze() -> None:
+    """Warn once if PBX_FLASH_BF16 changed after import (frozen then)."""
+    global _warned_bf16_freeze
+    now = os.environ.get("PBX_FLASH_BF16", "0") == "1"
+    if now != _BF16_OPERANDS and not _warned_bf16_freeze:
+        _warned_bf16_freeze = True
+        import warnings
+        warnings.warn(
+            f"PBX_FLASH_BF16={int(now)} set after pianobart_tpu.ops.flash "
+            f"was imported; the flag is frozen at import time "
+            f"(operands stay {'bf16' if _BF16_OPERANDS else 'f32'}). "
+            f"Set it before the first import.", stacklevel=3)
+
+
 def _mxu_in(x):
     if _BF16_OPERANDS:
         return x
@@ -174,6 +191,7 @@ def _fwd(q, k, v, kv_mask, causal, block_q, block_kv):
     Accepts (B, S, H, D); returns ``out (B, Sq, H*D)``, ``lse (B, H, Sq)``
     and the flat residuals — no transposes, only free reshapes.
     """
+    _check_bf16_flag_freeze()
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     block_q = _resolve(block_q, _FWD_BLOCK, Sq)

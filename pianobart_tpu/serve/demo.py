@@ -98,19 +98,8 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
             params = {"params": restored}
         elif ckpt.endswith(".msgpack"):
             # merged-model output of `pbx merge` (flax serialization)
-            from flax import serialization
-            with open(ckpt, "rb") as f:
-                tree = serialization.msgpack_restore(f.read())
-            merged = dict(params["params"])
-            grafted = [k for k in tree if k in merged]
-            if not grafted:
-                raise SystemExit(
-                    f"{ckpt} contains keys {sorted(tree)} but none match "
-                    f"this model's parameter tree {sorted(merged)} — wrong "
-                    f"architecture or not a `pbx merge` output")
-            for k in grafted:
-                merged[k] = tree[k]
-            params = {"params": merged}
+            from ..train.state import load_merged_msgpack
+            params = {"params": load_merged_msgpack(ckpt, params["params"])}
         else:
             from ..compat.torch_import import import_checkpoint
             tree = import_checkpoint(ckpt, cfg)

@@ -132,15 +132,21 @@ class PretrainRunner:
 
     def valid_epoch(self) -> Dict[str, Any]:
         losses, accs = [], []
-        for batch, w in batch_iterator(self.valid_data, self.batch_size,
-                                       self.np_rng, shuffle=False,
-                                       drop_last=False):
+        for bi, (batch, w) in enumerate(batch_iterator(
+                self.valid_data, self.batch_size, self.np_rng, shuffle=False,
+                drop_last=False)):
+            # Distinct-but-deterministic corruption per validation batch:
+            # self.rng alone would give sample i of EVERY batch the identical
+            # corruption draw (only batch_size distinct patterns across the
+            # whole split).  Folding the batch index keeps eval deterministic
+            # across epochs while decorrelating batches.
+            rng = jax.random.fold_in(self.rng, bi)
             if self.eval_step_fn is not None:
                 m = self.eval_step_fn(self.state, self.put_batch(batch),
-                                      self.rng, jnp.asarray(w))
+                                      rng, jnp.asarray(w))
             else:
                 m = pretrain_eval_step(self.state, self.put_batch(batch),
-                                       self.rng, jnp.asarray(w), self.cfg,
+                                       rng, jnp.asarray(w), self.cfg,
                                        self.mask_percent)
             losses.append(m["loss"])
             accs.append(m["field_acc"])

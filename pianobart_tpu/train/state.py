@@ -45,6 +45,28 @@ def create_train_state(model: nn.Module, cfg: PianoBartConfig, rng: jax.Array,
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
+def load_merged_msgpack(path: str, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Graft a `pbx merge` output (.msgpack, flax serialization) onto
+    ``params``, validating that at least one top-level key matches.
+
+    Shared by ``cli._load_init_ckpt`` and ``serve.demo`` (the two copies had
+    started to drift — round-2 advisor).
+    """
+    from flax import serialization
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    merged = dict(params)
+    grafted = [k for k in tree if k in merged]
+    if not grafted:
+        raise SystemExit(
+            f"{path} contains keys {sorted(tree)} but none match this "
+            f"model's parameter tree {sorted(merged)} — wrong architecture "
+            f"or not a `pbx merge` output")
+    for k in grafted:
+        merged[k] = tree[k]
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # Checkpointing
 # ---------------------------------------------------------------------------

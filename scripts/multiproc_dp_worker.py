@@ -19,15 +19,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Exit code for "jax.distributed is unavailable in this environment": the
+# init call itself failed, before ANY pianobart_tpu code ran.  The test
+# skips only on this code — every other failure is a real regression.
+ENV_UNAVAILABLE_RC = 42
+
+
 def main(pid: int, nprocs: int, port: int, outfile: str) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
-    jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}",
-        num_processes=nprocs,
-        process_id=pid,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
+    except Exception as exc:  # init-time only: environment, not our code
+        print(f"jax.distributed.initialize failed: {exc!r}", file=sys.stderr)
+        raise SystemExit(ENV_UNAVAILABLE_RC)
     import jax.numpy as jnp
     import numpy as np
     from flax import linen as nn

@@ -120,6 +120,7 @@ def test_bf16_operand_switch(monkeypatch):
     the test toggles the module global directly."""
     from pianobart_tpu.ops import flash as flash_mod
     monkeypatch.setattr(flash_mod, "_BF16_OPERANDS", True)
+    monkeypatch.setenv("PBX_FLASH_BF16", "1")  # keep freeze-warning quiet
     q, k, v, mask = setup(seed=4)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
 
@@ -144,3 +145,20 @@ def test_bf16_operand_switch(monkeypatch):
                                    np.asarray(b, np.float32),
                                    rtol=1.5e-1, atol=1.5e-1,
                                    err_msg=f"d{name} mismatch (bf16 operands)")
+
+    # Pin the flag path to the COMMITTED f32-operand flash path with a much
+    # tighter tolerance (same kernel schedule, only MXU operand dtype
+    # differs) — XLA-within-15% alone could hide a moderately wrong dS/dK
+    # (round-2 advisor).
+    monkeypatch.setattr(flash_mod, "_BF16_OPERANDS", False)
+    monkeypatch.setenv("PBX_FLASH_BF16", "0")
+    g_f32 = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, vb)
+    for name, a, b in zip("qkv", g_flash, g_f32):
+        # atol 8e-2: a handful of elements (~5/131072) legitimately differ
+        # by up to ~0.07 from bf16 quantization of the dS operands; a wrong
+        # dS/dK formula moves thousands of elements, not five.
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=3e-2, atol=8e-2,
+                                   err_msg=f"d{name}: bf16-operand vs "
+                                           f"f32-operand flash")

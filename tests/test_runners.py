@@ -123,6 +123,44 @@ def test_ablation_step_masks_second_half(rng):
     assert lm[:, S // 2 + 1:].all() and not lm[:, :S // 2].any()
 
 
+def test_valid_epoch_rng_distinct_per_batch_deterministic_per_epoch(
+        rng, tmp_path):
+    """Eval corruption keys must differ per batch (round-2 verdict: one key
+    for the whole split meant only batch_size distinct corruption draws) yet
+    stay identical across epochs (determinism)."""
+    from pianobart_tpu.models import PianoBartLM, tiny_config
+    from pianobart_tpu.train.runner import PretrainRunner
+    from pianobart_tpu.train.state import TrainState, make_optimizer
+    from flax import linen as nn
+
+    cfg = tiny_config()
+    model = PianoBartLM(cfg)
+    S = cfg.max_len
+    ids = jnp.zeros((1, S, 8), jnp.int32)
+    m = jnp.ones((1, S))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), ids, ids, m, m))
+    state = TrainState.create(apply_fn=model.apply,
+                              params=params["params"], tx=make_optimizer())
+    data = make_ids(rng, 6, S).astype(np.int32)
+
+    seen = []
+
+    def record_eval(state, batch, rng_, w):
+        seen.append(np.asarray(jax.random.key_data(rng_)).tolist())
+        return {"loss": jnp.float32(0.0), "field_acc": jnp.zeros(8)}
+
+    runner = PretrainRunner(state, cfg, data, data, str(tmp_path),
+                            batch_size=2, eval_step_fn=record_eval)
+    runner.valid_epoch()
+    n_batches = len(seen)
+    assert n_batches == 3
+    assert len({tuple(s) for s in seen}) == n_batches  # distinct per batch
+    first = list(seen)
+    seen.clear()
+    runner.valid_epoch()
+    assert seen == first                               # deterministic
+
+
 def test_pretrain_runner_warns_on_zero_steps(rng, tmp_path, capsys):
     """A dataset smaller than batch_size must not silently report loss 0.0
     (drop_last leaves zero train batches)."""
