@@ -17,6 +17,7 @@ functional KV cache for the scanned decode loop (the reference re-encodes all
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -30,6 +31,24 @@ from ..ops.dropout import Dropout
 KVCache = Dict[str, Any]
 
 NEG_INF = -1e9
+
+# Step-perf experiments (read once at import, same policy as ops/flash.py):
+# * PBX_QKV_FUSED=1 — compute the q/k/v projections of one attention module
+#   as ONE (d, 3d) matmul (k/v as (d, 2d) for cross-attention), concatenating
+#   the per-projection kernels at apply time.  Param tree unchanged
+#   (q_proj/k_proj/v_proj survive for checkpoint parity); numerics identical
+#   (each output column is the same dot product).
+# * PBX_FFN_2D=1 — run the FFN matmuls on (B*S, d) views; the 3D formulation
+#   makes XLA pick a {1,2,0} layout for the fc2 forward output and pay a
+#   ~10 ms/step copy (xprof, ROADMAP.md).
+# * PBX_FUSED_DROPLN=1 — run every sublayer tail
+#   LayerNorm(residual + dropout(h)) as ONE pallas kernel with in-kernel
+#   PRNG (ops/fused_ln.py): no (B, S, D) dropout masks materialize in HBM
+#   (1.3 GB of backward residuals at the flagship shape) and the
+#   select+add+reduce loop fusions collapse into the same pass.
+_QKV_FUSED = os.environ.get("PBX_QKV_FUSED", "0") == "1"
+_FFN_2D = os.environ.get("PBX_FFN_2D", "0") == "1"
+_FUSED_DROPLN = os.environ.get("PBX_FUSED_DROPLN", "0") == "1"
 
 
 def _constrain_activations(x: jax.Array, cfg=None) -> jax.Array:
@@ -58,6 +77,29 @@ def _dense(features: int, cfg: PianoBartConfig, kernel_axes, name: str) -> nn.De
     )
 
 
+class _ProjParams(nn.Module):
+    """Declares an ``nn.Dense``-compatible (kernel, bias) pair WITHOUT the
+    matmul, so a parent can concatenate several projections into one matmul
+    (``PBX_QKV_FUSED``).  Same param names/shapes/init as ``_dense`` — the
+    checkpoint tree is indistinguishable."""
+
+    d_in: int
+    d_out: int
+    cfg: PianoBartConfig
+    kernel_axes: Tuple[Optional[str], Optional[str]]
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, jax.Array]:
+        kernel = self.param(
+            "kernel",
+            nn.with_partitioning(nn.initializers.normal(stddev=0.02),
+                                 self.kernel_axes),
+            (self.d_in, self.d_out), self.cfg.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.d_out,), self.cfg.param_dtype)
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """HF-Bart-compatible MHA with optional explicit KV cache."""
 
@@ -81,14 +123,32 @@ class MultiHeadAttention(nn.Module):
         def heads(x):
             return x.reshape(x.shape[0], x.shape[1], H, Dh)
 
-        q = heads(_dense(D, cfg, ("embed", "qkv"), "q_proj")(x_q)) * (Dh ** -0.5)
         use_cached_kv = cache is not None and "k" in cache and cache_index is None
-        if use_cached_kv:
-            # Cross-attention during decode: keys/values precomputed.
-            k, v = cache["k"], cache["v"]
+        if _QKV_FUSED and cache is None and cache_index is None:
+            # One fused projection matmul per module (see flag docstring).
+            dt = cfg.dtype
+            Wq, bq = _ProjParams(D, D, cfg, ("embed", "qkv"), name="q_proj")()
+            Wk, bk = _ProjParams(D, D, cfg, ("embed", "qkv"), name="k_proj")()
+            Wv, bv = _ProjParams(D, D, cfg, ("embed", "qkv"), name="v_proj")()
+            if x_q is x_kv:   # self-attention: one (D, 3D) matmul
+                W = jnp.concatenate([Wq, Wk, Wv], axis=1).astype(dt)
+                b = jnp.concatenate([bq, bk, bv]).astype(dt)
+                q_, k_, v_ = jnp.split(x_q.astype(dt) @ W + b, 3, axis=-1)
+            else:             # cross-attention: q alone, one (D, 2D) for k/v
+                q_ = x_q.astype(dt) @ Wq.astype(dt) + bq.astype(dt)
+                W = jnp.concatenate([Wk, Wv], axis=1).astype(dt)
+                b = jnp.concatenate([bk, bv]).astype(dt)
+                k_, v_ = jnp.split(x_kv.astype(dt) @ W + b, 2, axis=-1)
+            q = heads(q_) * (Dh ** -0.5)
+            k, v = heads(k_), heads(v_)
         else:
-            k = heads(_dense(D, cfg, ("embed", "qkv"), "k_proj")(x_kv))
-            v = heads(_dense(D, cfg, ("embed", "qkv"), "v_proj")(x_kv))
+            q = heads(_dense(D, cfg, ("embed", "qkv"), "q_proj")(x_q)) * (Dh ** -0.5)
+            if use_cached_kv:
+                # Cross-attention during decode: keys/values precomputed.
+                k, v = cache["k"], cache["v"]
+            else:
+                k = heads(_dense(D, cfg, ("embed", "qkv"), "k_proj")(x_kv))
+                v = heads(_dense(D, cfg, ("embed", "qkv"), "v_proj")(x_kv))
 
         new_cache: Optional[KVCache] = None
         if cache is not None and not use_cached_kv and cache_index is None:
@@ -144,16 +204,63 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
+        shape3 = x.shape
+        if _FFN_2D:
+            x = x.reshape(-1, shape3[-1])   # (B*S, d): friendlier fc2 layout
         h = _dense(cfg.ffn_dim, cfg, ("embed", "mlp"), "fc1")(x)
         h = jax.nn.gelu(h, approximate=False)
         h = Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
         h = _dense(cfg.d_model, cfg, ("mlp", "embed"), "fc2")(h)
+        if _FFN_2D:
+            h = h.reshape(shape3)
         return h
 
 
 def _layer_norm(cfg: PianoBartConfig, name: str) -> nn.LayerNorm:
     return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name=name)
+
+
+class ResidualDropoutLN(nn.Module):
+    """``LayerNorm(residual + dropout(h))`` — the tail of every sublayer.
+
+    Declares the SAME (scale, bias) params as ``nn.LayerNorm`` so the
+    checkpoint tree is unchanged; name instances after the LayerNorm they
+    replace (e.g. ``self_attn_layer_norm``).  Under ``PBX_FUSED_DROPLN`` on
+    TPU training shapes, the whole tail runs as one pallas kernel
+    (ops/fused_ln.py); otherwise the exact unfused composition
+    (``Dropout`` + flax-LayerNorm semantics: f32 fast-variance stats,
+    ``(x - mean) * (rsqrt(var + eps) * scale) + bias``, cast to dtype).
+    """
+
+    cfg: PianoBartConfig
+
+    @nn.compact
+    def __call__(self, residual: jax.Array, h: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        D = h.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (D,),
+                           cfg.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (D,),
+                          cfg.param_dtype)
+        if (_FUSED_DROPLN and not deterministic and cfg.dropout > 0.0
+                and jax.default_backend() == "tpu"):
+            from ..ops.fused_ln import dropout_add_ln, fused_eligible
+            if fused_eligible(h.shape):
+                seed = jax.random.bits(self.make_rng("dropout"),
+                                       dtype=jnp.uint32)
+                return dropout_add_ln(h, residual, scale, bias, seed,
+                                      cfg.dropout)
+        hd = Dropout(cfg.dropout)(h, deterministic=deterministic)
+        x = residual + hd
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = jnp.maximum(0.0, (xf * xf).mean(-1, keepdims=True)
+                          - mean * mean)
+        mul = jax.lax.rsqrt(var + 1e-5) * scale.astype(jnp.float32)
+        y = (xf - mean) * mul + bias.astype(jnp.float32)
+        return y.astype(cfg.dtype)
 
 
 def _ffn_cls(cfg: PianoBartConfig):
@@ -172,13 +279,13 @@ class EncoderLayer(nn.Module):
         residual = x
         h, _ = MultiHeadAttention(cfg, name="self_attn")(
             x, x, kv_mask=pad_mask, deterministic=deterministic)
-        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
-        x = _layer_norm(cfg, "self_attn_layer_norm")(residual + h)
+        x = ResidualDropoutLN(cfg, name="self_attn_layer_norm")(
+            residual, h, deterministic)
 
         residual = x
         h = _ffn_cls(cfg)(cfg, name="ffn")(x, deterministic)
-        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
-        return _layer_norm(cfg, "final_layer_norm")(residual + h)
+        return ResidualDropoutLN(cfg, name="final_layer_norm")(
+            residual, h, deterministic)
 
 
 class DecoderLayer(nn.Module):
@@ -193,21 +300,21 @@ class DecoderLayer(nn.Module):
             x, x, kv_mask=self_mask,
             cache=None if cache is None else cache.get("self"),
             cache_index=cache_index, deterministic=deterministic)
-        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
-        x = _layer_norm(cfg, "self_attn_layer_norm")(residual + h)
+        x = ResidualDropoutLN(cfg, name="self_attn_layer_norm")(
+            residual, h, deterministic)
 
         residual = x
         h, new_cross = MultiHeadAttention(cfg, name="cross_attn")(
             x, enc_out, kv_mask=enc_mask,
             cache=None if cache is None else cache.get("cross"),
             deterministic=deterministic)
-        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
-        x = _layer_norm(cfg, "cross_attn_layer_norm")(residual + h)
+        x = ResidualDropoutLN(cfg, name="cross_attn_layer_norm")(
+            residual, h, deterministic)
 
         residual = x
         h = _ffn_cls(cfg)(cfg, name="ffn")(x, deterministic)
-        h = Dropout(cfg.dropout)(h, deterministic=deterministic)
-        x = _layer_norm(cfg, "final_layer_norm")(residual + h)
+        x = ResidualDropoutLN(cfg, name="final_layer_norm")(
+            residual, h, deterministic)
 
         new_cache = None
         if new_self is not None or new_cross is not None:

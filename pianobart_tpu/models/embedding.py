@@ -12,12 +12,50 @@ tables), so checkpoint parity is preserved.
 from __future__ import annotations
 
 import math
+import os
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from .config import PianoBartConfig
+
+# Backward of the fused-table gather: XLA lowers the natural formulation to
+# a scatter-add over the (1280, 256) table — measured ~13 ms/step at B=32
+# (xprof, ROADMAP.md).  With the flag on, the gather carries a custom VJP
+# whose backward is ONE one-hot (N, 1280)^T x (N, E) MXU matmul (bf16
+# operands, f32 accumulation) instead.  Read once at import (env is not a
+# jit cache key), same policy as ops/flash.py.
+_ONEHOT_BWD = os.environ.get("PBX_EMB_ONEHOT_BWD", "0") == "1"
+
+
+@jax.custom_vjp
+def _gather_rows(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
+    return jnp.take(table, flat_ids, axis=0)
+
+
+def _gather_rows_fwd(table, flat_ids):
+    # residuals must be jax types: carry the table dtype via an empty proto
+    return jnp.take(table, flat_ids, axis=0), (
+        flat_ids, table.shape[0], jnp.zeros((0,), table.dtype))
+
+
+def _gather_rows_bwd(res, g):
+    flat_ids, n_rows, proto = res
+    table_dtype = proto.dtype
+    ids1 = flat_ids.reshape(-1)                         # (N,)
+    g2 = g.reshape(ids1.shape[0], g.shape[-1])          # (N, E)
+    # bf16 operands: exact one-hot, g rounded to bf16 (the activations it
+    # came from are bf16 under training anyway); accumulation in f32.
+    onehot = jax.nn.one_hot(ids1, n_rows, dtype=jnp.bfloat16)
+    dtable = jax.lax.dot_general(
+        onehot, g2.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (dtable.astype(table_dtype),
+            jnp.zeros(flat_ids.shape, dtype=jax.dtypes.float0))
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 class OctupleEmbedding(nn.Module):
@@ -34,7 +72,10 @@ class OctupleEmbedding(nn.Module):
             (cfg.total_vocab, cfg.emb_size), cfg.param_dtype)
         offsets = jnp.asarray(cfg.field_offsets, dtype=ids.dtype)
         flat_ids = ids + offsets  # (B, S, 8) in fused vocab space
-        emb = jnp.take(table, flat_ids, axis=0)            # (B, S, 8, E)
+        if _ONEHOT_BWD:
+            emb = _gather_rows(table, flat_ids)        # (B, S, 8, E)
+        else:
+            emb = jnp.take(table, flat_ids, axis=0)    # (B, S, 8, E)
         emb = emb.astype(cfg.dtype) * math.sqrt(cfg.emb_size)  # PianoBart.py:16
         emb = emb.reshape(*ids.shape[:-1], cfg.n_fields * cfg.emb_size)
         fusion = nn.Dense(

@@ -300,12 +300,25 @@ def procedural_song(rng, style_name: str, n_bars: int) -> MidiFile:
     m.tempo_changes = [TempoChange(tempo, 0)]
     m.time_signature_changes = [TimeSignature(num, den, 0)]
 
-    lead = Instrument(program=0 if style_name != "Band" else 73, name="lead")
+    # POP909-style track names: the reference's melody labels come from the
+    # TRACK NAME (convert.py:45-67,212-213 — MELODY/BRIDGE/PIANO, else
+    # OTHER), so the corpus must use them for the melody-extraction finetune
+    # to carry signal (round-2 verdict: "lead"/"acc" made every note OTHER).
+    lead = Instrument(program=0 if style_name != "Band" else 73,
+                      name="MELODY")
     lead.notes = melody_line(rng, root, scale, prog, n_bars, beats_per_bar, reg)
-    acc = Instrument(program=0 if style_name != "Band" else 48, name="acc")
+    acc = Instrument(program=0 if style_name != "Band" else 48, name="PIANO")
     acc.notes = accompaniment(rng, root, scale, prog, n_bars, beats_per_bar,
                               acc_style)
     m.instruments = [lead, acc]
+    if rng.random() < 0.7:  # secondary/counter melody an octave below
+        bridge = Instrument(program=0 if style_name != "Band" else 71,
+                            name="BRIDGE")
+        bridge.notes = melody_line(rng, root, scale, prog, n_bars,
+                                   beats_per_bar, reg - 12)
+        # sparser than the lead: keep roughly every other note
+        bridge.notes = bridge.notes[::2]
+        m.instruments.append(bridge)
 
     # real-world messiness
     if rng.random() < 0.35:  # mid-piece tempo change(s)

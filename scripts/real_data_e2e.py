@@ -41,6 +41,38 @@ def sh(args, cwd, env=None):
     return r.stdout, dt
 
 
+def label_stats(work, outdir, dataset, token_level=False):
+    """Split sizes, test-label distribution and majority-class baseline for
+    a finetune task (round-2 verdict: headline accuracies without split
+    sizes/label distributions hid a constant-label melody task)."""
+    import numpy as np
+    from pianobart_tpu import vocab as V
+    root = os.path.join(work, outdir)
+    sizes, dists = {}, {}
+    for split in ("train", "valid", "test"):
+        X = np.load(os.path.join(root, f"{dataset}_{split}.npy"),
+                    allow_pickle=True)
+        y = np.load(os.path.join(root, f"{dataset}_{split}_ans.npy"),
+                    allow_pickle=True)
+        sizes[split] = len(X)
+        if token_level:
+            mask = X[..., 0] != V.PAD[0]
+            vals, counts = np.unique(np.asarray(y)[mask], return_counts=True)
+        else:
+            vals, counts = np.unique(np.asarray(y), return_counts=True)
+        dists[split] = dict(zip(vals.tolist(), counts.tolist()))
+    test = dists["test"]
+    total = sum(test.values())
+    maj = max(test.values()) / max(total, 1)
+    dist_s = ", ".join(f"{k}: {v}" for k, v in sorted(test.items()))
+    unit = "labeled tokens" if token_level else "samples"
+    return [
+        f"splits: train/valid/test = {sizes['train']}/{sizes['valid']}/"
+        f"{sizes['test']} sequences; test label distribution "
+        f"({total} {unit}): {{{dist_s}}}; majority-class baseline "
+        f"{maj:.4f}", ""]
+
+
 def read_epochs(path):
     """Epoch records of the LATEST run (logs append across reruns)."""
     out = []
@@ -226,7 +258,7 @@ def main():
 
     # ---- RESULTS.md ----
     lines = [
-        "# Real-data end-to-end results (round 2)",
+        "# Real-data end-to-end results (round 3)",
         "",
         "No network egress: POP909/Pianist8/EMOPIA are unreachable, so the",
         "corpus is `scripts/make_corpus.py` — programmatic public-domain",
@@ -271,6 +303,7 @@ def main():
         "",
         f"## Composer finetune ({n_cls}-way classification)",
         "",
+        *label_stats(work, "Data/output_composer/corpus", "corpus"),
         "| epoch | train loss | valid acc | test acc |",
         "|---|---|---|---|",
     ]
@@ -298,6 +331,8 @@ def main():
         "",
         f"## Velocity finetune (token classification)",
         "",
+        *label_stats(work, "Data/output_velocity/corpus", "corpus",
+                     token_level=True),
         "| epoch | train loss | valid acc | test acc |",
         "|---|---|---|---|",
     ]
@@ -306,8 +341,8 @@ def main():
             f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
             f"| {rec['valid'].get('acc', float('nan')):.4f} "
             f"| {rec['test'].get('acc', float('nan')):.4f} |")
-    def acc_table(title, recs):
-        rows = ["", f"## {title}", "",
+    def acc_table(title, recs, stats=()):
+        rows = ["", f"## {title}", "", *stats,
                 "| epoch | train loss | valid acc | test acc |",
                 "|---|---|---|---|"]
         for rec in recs:
@@ -317,8 +352,14 @@ def main():
                 f"| {rec['test'].get('acc', float('nan')):.4f} |")
         return rows
 
-    lines += acc_table("Emotion finetune (4-way classification)", emo)
-    lines += acc_table("Melody finetune (token classification)", mel)
+    lines += acc_table(
+        "Emotion finetune (4-way classification)", emo,
+        label_stats(work, "Data/output_emotion/corpus", "corpus"))
+    lines += acc_table(
+        "Melody finetune (token classification: MELODY/BRIDGE/PIANO/OTHER "
+        "from POP909-style track names)", mel,
+        label_stats(work, "Data/output_melody/corpus", "corpus",
+                    token_level=True))
     lines += ["", "## Ablation (second-half reconstruction, no pretrain)",
               "", "| epoch | train loss | valid loss |", "|---|---|---|"]
     for rec in abl:

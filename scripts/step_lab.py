@@ -1,0 +1,119 @@
+"""Full-train-step experiment lab: measures pretrain_multi_step under the
+step-perf experiment flags (PBX_EMB_ONEHOT_BWD / PBX_QKV_FUSED / PBX_FFN_2D
+and combinations).
+
+The flags are frozen at import (env is not a jit cache key), so each variant
+runs in its OWN subprocess; the parent sweeps all variants twice in
+interleaved order (compile caches make the second sweep cheap) and reports
+per-variant medians.  One process at a time — the TPU is single-tenant.
+
+Usage:
+    python scripts/step_lab.py            # parent: sweep all variants
+    python scripts/step_lab.py --child    # child: measure current env
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VARIANTS = {
+    "base":   {},
+    "emb":    {"PBX_EMB_ONEHOT_BWD": "1"},
+    "qkv":    {"PBX_QKV_FUSED": "1"},
+    "ffn2d":  {"PBX_FFN_2D": "1"},
+    "all":    {"PBX_EMB_ONEHOT_BWD": "1", "PBX_QKV_FUSED": "1",
+               "PBX_FFN_2D": "1"},
+}
+
+
+def child() -> None:
+    import numpy as np
+    import jax
+    jax.config.update("jax_compilation_cache_dir", f"{REPO}/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from pianobart_tpu import vocab as V
+    from pianobart_tpu.models import PianoBartConfig, PianoBartLM
+    from pianobart_tpu.train.pretrain import pretrain_multi_step
+    from pianobart_tpu.train.state import TrainState, make_optimizer
+
+    B = int(os.environ.get("PBX_LAB_BATCH", "32"))
+    cfg = PianoBartConfig(dtype=jnp.bfloat16)
+    model = PianoBartLM(cfg)
+    S = cfg.max_len
+    K = 10
+    rng = jax.random.PRNGKey(0)
+    ids0 = jnp.zeros((B, S, 8), jnp.int32)
+    m0 = jnp.ones((B, S))
+    variables = nn.meta.unbox(model.init(rng, ids0, ids0, m0, m0))
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=make_optimizer())
+    npr = np.random.default_rng(0)
+    batch = np.zeros((B, S, 8), dtype=np.int32)
+    for f in range(8):
+        batch[..., f] = npr.integers(0, V.TOKEN_BOUNDARY[f], (B, S))
+    batch = jnp.asarray(batch)
+
+    state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
+    loss0 = float(losses[-1])   # warm + correctness probe
+
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg,
+                                                 0.15, K)
+        _ = float(losses[-1])
+        ts.append((time.perf_counter() - t0) / K)
+    ts.sort()
+    med = ts[len(ts) // 2]
+    print(json.dumps({
+        "step_ms": round(med * 1e3, 1),
+        "toks_per_sec": round(B * S / med, 1),
+        "loss0": round(loss0, 4),
+        "flags": {k: os.environ.get(k, "0") for k in
+                  ("PBX_EMB_ONEHOT_BWD", "PBX_QKV_FUSED", "PBX_FFN_2D")},
+    }))
+
+
+def parent() -> None:
+    results: dict = {k: [] for k in VARIANTS}
+    losses: dict = {}
+    for sweep in range(2):
+        for name, flags in VARIANTS.items():
+            env = dict(os.environ)
+            env.update(flags)
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env, capture_output=True, text=True, timeout=1800)
+            if p.returncode != 0:
+                print(f"[{sweep}] {name}: FAILED\n{p.stderr[-2000:]}",
+                      flush=True)
+                continue
+            out = json.loads(p.stdout.strip().splitlines()[-1])
+            results[name].append(out["step_ms"])
+            losses[name] = out["loss0"]
+            print(f"[{sweep}] {name:7s} {out['step_ms']:7.1f} ms "
+                  f"{out['toks_per_sec']:9.0f} tok/s  loss0={out['loss0']}",
+                  flush=True)
+    print("\nmedians:")
+    for name, ms in results.items():
+        if ms:
+            print(f"  {name:7s} {sorted(ms)[len(ms) // 2]:7.1f} ms  "
+                  f"loss0={losses.get(name)}")
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        child()
+    else:
+        parent()

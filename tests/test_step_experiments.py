@@ -1,0 +1,112 @@
+"""Equivalence tests for the step-perf experiment flags.
+
+Each flag (ops/flash.py-style import-frozen env switches, toggled here via
+their module globals) must leave the model a drop-in replacement:
+
+* ``PBX_QKV_FUSED``  — fused (D, 3D) projection matmul == three matmuls,
+  same param tree;
+* ``PBX_FFN_2D``     — (B*S, d) FFN views == 3D formulation;
+* ``PBX_EMB_ONEHOT_BWD`` — one-hot-matmul embedding-table gradient ==
+  XLA scatter-add gradient.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pianobart_tpu import vocab as V
+from pianobart_tpu.models import PianoBartLM, tiny_config
+from pianobart_tpu.models import bart as bart_mod
+from pianobart_tpu.models import embedding as emb_mod
+
+
+def _setup(dropout=0.0):
+    cfg = tiny_config(dropout=dropout)
+    model = PianoBartLM(cfg)
+    S = cfg.max_len
+    rng = np.random.default_rng(0)
+    ids = np.zeros((2, S, 8), dtype=np.int32)
+    for f in range(8):
+        ids[..., f] = rng.integers(0, V.TOKEN_BOUNDARY[f], (2, S))
+    ids = jnp.asarray(ids)
+    m = jnp.ones((2, S))
+    params = model.init(jax.random.PRNGKey(0), ids, ids, m, m)
+    return cfg, model, params, ids, m
+
+
+def _loss_fn(model, ids, m):
+    def loss(params):
+        out = model.apply(params, ids, ids, m, m, True)
+        return (out.astype(jnp.float32) ** 2).mean()
+    return loss
+
+
+def test_qkv_fused_matches_unfused(monkeypatch):
+    cfg, model, params, ids, m = _setup()
+    base = model.apply(params, ids, ids, m, m, True)
+    g_base = jax.grad(_loss_fn(model, ids, m))(params)
+
+    monkeypatch.setattr(bart_mod, "_QKV_FUSED", True)
+    # identical param tree: init under the flag must produce the same keys
+    p2 = model.init(jax.random.PRNGKey(0), ids, ids, m, m)
+    assert jax.tree_util.tree_structure(p2) == \
+        jax.tree_util.tree_structure(params)
+    fused = model.apply(params, ids, ids, m, m, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+    g_fused = jax.grad(_loss_fn(model, ids, m))(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_base)[0],
+            jax.tree_util.tree_flatten_with_path(g_fused)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5,
+                                   err_msg=str(pa))
+
+
+def test_qkv_fused_decode_cache_path_unchanged(monkeypatch):
+    """Fusion only applies to training shapes; KV-cached decode must keep
+    using the per-projection path (and stay consistent with training)."""
+    from pianobart_tpu.decode import generate
+    cfg, model, params, ids, m = _setup()
+    out_base = generate(params, ids[:1], cfg=cfg, max_steps=4)
+    monkeypatch.setattr(bart_mod, "_QKV_FUSED", True)
+    out_fused = generate(params, ids[:1], cfg=cfg, max_steps=4)
+    np.testing.assert_array_equal(np.asarray(out_base), np.asarray(out_fused))
+
+
+def test_ffn_2d_matches_3d(monkeypatch):
+    cfg, model, params, ids, m = _setup()
+    base = model.apply(params, ids, ids, m, m, True)
+    monkeypatch.setattr(bart_mod, "_FFN_2D", True)
+    out = model.apply(params, ids, ids, m, m, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_emb_onehot_bwd_matches_scatter(monkeypatch):
+    cfg, model, params, ids, m = _setup()
+    g_base = jax.grad(_loss_fn(model, ids, m))(params)
+    monkeypatch.setattr(emb_mod, "_ONEHOT_BWD", True)
+    g_flag = jax.grad(_loss_fn(model, ids, m))(params)
+
+    flat_b = jax.tree_util.tree_flatten_with_path(g_base)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_flag)[0]
+    for (pa, a), (_, b) in zip(flat_b, flat_f):
+        name = jax.tree_util.keystr(pa)
+        a, b = np.asarray(a), np.asarray(b)
+        if "table" in name:
+            # bf16 matmul operands: per-element cotangents rounded to bf16
+            scale = np.abs(a).max() + 1e-12
+            np.testing.assert_allclose(b / scale, a / scale, atol=1.5e-2,
+                                       err_msg=name)
+        else:
+            np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6,
+                                       err_msg=name)
+
+
+def test_emb_onehot_forward_identical(monkeypatch):
+    cfg, model, params, ids, m = _setup()
+    base = model.apply(params, ids, ids, m, m, True)
+    monkeypatch.setattr(emb_mod, "_ONEHOT_BWD", True)
+    out = model.apply(params, ids, ids, m, m, True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
