@@ -172,12 +172,18 @@ def cmd_pretrain(args) -> int:
         if cfg.max_len % sp != 0:
             raise SystemExit(f"--max_seq_len {cfg.max_len} must be divisible "
                              f"by the sp mesh axis ({sp})")
-        if mesh.shape["tp"] != 1:
-            raise SystemExit("sp>1 currently composes with dp only; use "
-                             "--mesh DPx1xSP")
         from .train.pretrain_sp import (make_sp_eval_step,
                                         make_sp_pretrain_step)
         cfg_sp = cfg.replace(ring_axis="sp")
+        if mesh.shape["tp"] > 1:
+            # TP∘SP: head-sharded tensor parallelism inside the ring
+            # shard_map (models/bart.py ring-tp branch; grads proven equal
+            # to the dense step in test_sp_train.py).
+            if cfg.num_heads % mesh.shape["tp"] != 0:
+                raise SystemExit(f"--heads {cfg.num_heads} must be divisible "
+                                 f"by the tp mesh axis ({mesh.shape['tp']})")
+            cfg_sp = cfg_sp.replace(ring_tp_axis="tp",
+                                    ring_tp_size=mesh.shape["tp"])
         train_step_fn = make_sp_pretrain_step(cfg_sp, mesh,
                                               args.mask_percent)
         eval_step_fn = make_sp_eval_step(cfg_sp, mesh, args.mask_percent)
@@ -429,8 +435,9 @@ def cmd_export_ckpt(args) -> int:
     m = jnp.ones((1, cfg.max_len))
     template = nn.meta.unbox(model.init(rng, ids, ids, m, m))["params"]
     params = CheckpointManager(args.ckpt).restore_params(template)
-    sd = (export_trunk(params["pianobart"], cfg) if args.trunk_only
-          else export_lm(params, cfg))
+    sd = (export_trunk(params["pianobart"], cfg,
+                       strict_ref=args.strict_ref) if args.trunk_only
+          else export_lm(params, cfg, strict_ref=args.strict_ref))
     save_torch_checkpoint(sd, args.output)
     print(f"exported {args.ckpt} -> {args.output} "
           f"({'trunk' if args.trunk_only else 'lm'}, {len(sd)} tensors)")
@@ -467,10 +474,23 @@ def cmd_make_dict(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from .serve.app import App, GenerationService
-    service = GenerationService(ckpt=args.ckpt, max_batch=args.max_batch,
-                                batch_window_s=args.batch_window)
-    App(service, args.ckpt).run(host=args.host, port=args.port)
+    from .serve.app import create_app
+    # --ckpt entries: "name=path" registers a named model (the reference
+    # selects checkpoints by model name, gui/backend/app.py:71-93); a bare
+    # path registers as "pianobart".
+    ckpts = {}
+    for entry in args.ckpt or []:
+        if "=" in entry:
+            name, path = entry.split("=", 1)
+        else:
+            name, path = "pianobart", entry
+        if name in ckpts:
+            raise SystemExit(f"duplicate model name '{name}' in --ckpt")
+        ckpts[name] = path
+    app = create_app(ckpts=ckpts or {"pianobart": None},
+                     max_batch=args.max_batch,
+                     batch_window_s=args.batch_window)
+    app.run(host=args.host, port=args.port)
     return 0
 
 
@@ -605,6 +625,10 @@ def build_parser() -> argparse.ArgumentParser:
     sxc.add_argument("--trunk_only", action="store_true",
                      help="export the PianoBart trunk only (pretrain-style "
                           "checkpoint, pretrain.py:100)")
+    sxc.add_argument("--strict_ref", action="store_true",
+                     help="also emit the reference's unused HF token-"
+                          "embedding tables so main.py:168's strict "
+                          "load_state_dict accepts the checkpoint")
     _add_model_flags(sxc)
     sxc.set_defaults(fn=cmd_export_ckpt)
 
@@ -624,7 +648,11 @@ def build_parser() -> argparse.ArgumentParser:
     smd.set_defaults(fn=cmd_make_dict)
 
     sv = sub.add_parser("serve")
-    sv.add_argument("--ckpt", default=None)
+    sv.add_argument("--ckpt", nargs="+", default=None,
+                    help="checkpoint(s) to serve: a bare path (served as "
+                         "'pianobart') and/or name=path entries; the "
+                         "<model> segment of /api/generate/<model>/<file> "
+                         "selects one")
     sv.add_argument("--host", default="0.0.0.0")
     sv.add_argument("--port", type=int, default=5000)
     sv.add_argument("--max_batch", type=int, default=8,

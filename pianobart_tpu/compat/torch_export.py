@@ -53,10 +53,32 @@ def _dec_layer(sd: StateDict, p: str, tree: Dict) -> None:
                tree["cross_attn_layer_norm"])
 
 
+HF_BART_DEFAULT_VOCAB = 50265  # transformers BartConfig default
+
+
+def _ref_unused_embeddings(cfg: PianoBartConfig) -> StateDict:
+    """The reference's ``BartModel`` carries token-embedding tables it never
+    uses with octuple ``inputs_embeds`` (``bart.shared`` + tied
+    ``embed_tokens``).  ``main.py:168`` loads trunks with STRICT
+    ``load_state_dict``, so a checkpoint meant for the unmodified reference
+    trainer must include them; zeros are behaviorally identical."""
+    z = np.zeros((HF_BART_DEFAULT_VOCAB, cfg.d_model), np.float32)
+    return {"bart.shared.weight": z,
+            "bart.encoder.embed_tokens.weight": z,
+            "bart.decoder.embed_tokens.weight": z}
+
+
 def export_trunk(trunk: Dict, cfg: PianoBartConfig,
-                 prefix: str = "") -> StateDict:
-    """Our ``pianobart`` subtree -> reference ``PianoBart`` state dict."""
+                 prefix: str = "", strict_ref: bool = False) -> StateDict:
+    """Our ``pianobart`` subtree -> reference ``PianoBart`` state dict.
+
+    ``strict_ref``: also emit the unused HF token-embedding tables so the
+    reference's strict ``load_state_dict`` path (``main.py:161-168``)
+    accepts the checkpoint without ``strict=False``.
+    """
     sd: StateDict = {}
+    if strict_ref:
+        sd.update(_ref_unused_embeddings(cfg))
     table = np.asarray(trunk["embed"]["table"])
     off = 0
     for i, size in enumerate(cfg.field_sizes):
@@ -89,9 +111,11 @@ def export_trunk(trunk: Dict, cfg: PianoBartConfig,
     return sd
 
 
-def export_lm(params: Dict, cfg: PianoBartConfig) -> StateDict:
+def export_lm(params: Dict, cfg: PianoBartConfig,
+              strict_ref: bool = False) -> StateDict:
     """Our PianoBartLM params tree -> reference ``PianoBartLM`` state dict."""
-    sd = export_trunk(params["pianobart"], cfg, prefix="pianobart.")
+    sd = export_trunk(params["pianobart"], cfg, prefix="pianobart.",
+                      strict_ref=strict_ref)
     kernel = np.asarray(params["lm_head"]["proj"]["kernel"])  # (d, 1280)
     bias = np.asarray(params["lm_head"]["proj"]["bias"])
     off = 0
@@ -100,6 +124,35 @@ def export_lm(params: Dict, cfg: PianoBartConfig) -> StateDict:
             kernel[:, off:off + size].T)
         sd[f"mask_lm.proj.{i}.bias"] = bias[off:off + size]
         off += size
+    return sd
+
+
+def export_sequence_classifier(params: Dict, cfg: PianoBartConfig,
+                               strict_ref: bool = False) -> StateDict:
+    """Our ``SequenceClassification`` params -> reference
+    ``model.SequenceClassification`` state dict (attention pooling +
+    2-layer classifier, model.py:165-218)."""
+    sd = export_trunk(params["pianobart"], cfg, prefix="pianobart.",
+                      strict_ref=strict_ref)
+    head = params["head"]
+    sd["attention.ws1.weight"] = np.ascontiguousarray(
+        np.asarray(head["attention"]["ws1"]["kernel"]).T)
+    sd["attention.ws2.weight"] = np.ascontiguousarray(
+        np.asarray(head["attention"]["ws2"]["kernel"]).T)
+    _linear(sd, "classifier.1", head["dense1"])
+    _linear(sd, "classifier.3", head["dense2"])
+    return sd
+
+
+def export_token_classifier(params: Dict, cfg: PianoBartConfig,
+                            strict_ref: bool = False) -> StateDict:
+    """Our ``TokenClassification`` params -> reference state dict
+    (model.py:236-272)."""
+    sd = export_trunk(params["pianobart"], cfg, prefix="pianobart.",
+                      strict_ref=strict_ref)
+    head = params["head"]
+    _linear(sd, "classifier.1", head["dense1"])
+    _linear(sd, "classifier.3", head["dense2"])
     return sd
 
 

@@ -123,6 +123,44 @@ class MultiHeadAttention(nn.Module):
         def heads(x):
             return x.reshape(x.shape[0], x.shape[1], H, Dh)
 
+        if (cfg.ring_axis is not None and cfg.ring_tp_axis is not None
+                and cache is None and cache_index is None):
+            # TP∘SP: this tp shard projects and ring-attends H/ntp heads.
+            # Column-parallel q/k/v (kernel column slices), row-parallel
+            # out_proj (+psum); see ops/ring.py collectives for why each
+            # fwd/bwd pair is explicit.
+            from ..ops.ring import (psum_out, replicated_in, ring_attention,
+                                    tp_slice)
+            ax = cfg.ring_tp_axis
+            ntp = cfg.ring_tp_size
+            Hl = H // ntp
+            assert H % ntp == 0, (H, ntp)
+            DHl = Hl * Dh
+            start = jax.lax.axis_index(ax) * DHl
+            dt = cfg.dtype
+            xq_r = replicated_in(x_q, ax)
+            xkv_r = xq_r if x_kv is x_q else replicated_in(x_kv, ax)
+            Wq, bq = _ProjParams(D, D, cfg, ("embed", "qkv"), name="q_proj")()
+            Wk, bk = _ProjParams(D, D, cfg, ("embed", "qkv"), name="k_proj")()
+            Wv, bv = _ProjParams(D, D, cfg, ("embed", "qkv"), name="v_proj")()
+            Wo, bo = _ProjParams(D, D, cfg, ("qkv", "embed"),
+                                 name="out_proj")()
+
+            def proj(x, W, b):
+                y = (x.astype(dt) @ tp_slice(W, start, DHl, 1, ax).astype(dt)
+                     + tp_slice(b, start, DHl, 0, ax).astype(dt))
+                return y.reshape(y.shape[0], y.shape[1], Hl, Dh)
+
+            q = proj(xq_r, Wq, bq) * (Dh ** -0.5)
+            k = proj(xkv_r, Wk, bk)
+            v = proj(xkv_r, Wv, bv)
+            if kv_mask is None:
+                kv_mask = jnp.ones((B, k.shape[1]), jnp.float32)
+            out = ring_attention(q, k, v, kv_mask, self.causal, cfg.ring_axis)
+            out = out.reshape(B, Sq, DHl)
+            partial = out @ tp_slice(Wo, start, DHl, 0, ax).astype(dt)
+            return psum_out(partial, ax) + bo.astype(dt), None
+
         use_cached_kv = cache is not None and "k" in cache and cache_index is None
         if _QKV_FUSED and cache is None and cache_index is None:
             # One fused projection matmul per module (see flag docstring).

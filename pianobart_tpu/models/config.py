@@ -47,6 +47,13 @@ class PianoBartConfig:
     # run the model inside shard_map with the sequence axis sharded on it
     # (see parallel.sp.encode_sp).  None = dense attention.
     ring_axis: "Optional[str]" = None
+    # Head-sharded tensor parallelism COMPOSED with the ring (TP∘SP): set to
+    # the tp mesh axis name + its size.  Each tp shard projects and ring-
+    # attends H/ring_tp_size heads (column-parallel q/k/v, row-parallel
+    # out_proj with an explicit psum); gradients stay exact under unchecked
+    # shard_map via the custom-VJP collectives in ops/ring.py.
+    ring_tp_axis: "Optional[str]" = None
+    ring_tp_size: int = 1
 
     @property
     def head_dim(self) -> int:

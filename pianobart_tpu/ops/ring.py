@@ -32,7 +32,87 @@ import jax.numpy as jnp
 from .flash import (_bwd_fused_call, _delta as _flash_delta, _dkv_call,
                     _dq_call, _fused_eligible, _fwd as _flash_fwd)
 
-__all__ = ["ring_attention", "ring_attention_sharded"]
+__all__ = ["ring_attention", "ring_attention_sharded",
+           "replicated_in", "psum_out", "tp_slice"]
+
+
+# ---------------------------------------------------------------------------
+# Explicit collectives for composing tensor parallelism with the ring
+# (unchecked shard_map gives psum a psum transpose — the round-2 gotcha — so
+# the forward/backward pairs are spelled out as custom VJPs).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def replicated_in(x, axis_name: str):
+    """Mark a tp-replicated activation entering a head-sharded region.
+
+    Forward: identity.  Backward: ``psum`` over ``axis_name`` — every tp
+    shard back-propagates only its own heads' contribution to ``x``, and
+    the true cotangent of a replicated input is their sum.
+    """
+    return x
+
+
+def _repl_fwd(x, axis_name):
+    return x, None
+
+
+def _repl_bwd(axis_name, _, g):
+    return (jax.lax.psum(g, axis_name),)
+
+
+replicated_in.defvjp(_repl_fwd, _repl_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def psum_out(x, axis_name: str):
+    """Merge per-shard partial outputs (row-parallel matmul tail).
+
+    Forward: ``psum`` over ``axis_name``.  Backward: identity — the
+    cotangent of the replicated sum is already what every shard needs.
+    """
+    return jax.lax.psum(x, axis_name)
+
+
+def _psum_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _psum_bwd(axis_name, _, g):
+    return (g,)
+
+
+psum_out.defvjp(_psum_fwd, _psum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def tp_slice(w, start, size: int, axis: int, axis_name: str):
+    """Slice a REPLICATED parameter for this tp shard's use.
+
+    Forward: ``dynamic_slice_in_dim``.  Backward: scatter the slice
+    cotangent into zeros and ``psum`` over ``axis_name`` — the parameter
+    gradient comes out FULL and replicated on every tp shard, exactly like
+    the gradients of parameters used replicated-ly, so the caller's outer
+    (dp, sp) gradient psum needs no tp special-casing.
+    """
+    return jax.lax.dynamic_slice_in_dim(w, start, size, axis=axis)
+
+
+def _tp_slice_fwd(w, start, size, axis, axis_name):
+    out = jax.lax.dynamic_slice_in_dim(w, start, size, axis=axis)
+    return out, (jnp.zeros_like(w), start)
+
+
+def _tp_slice_bwd(size, axis, axis_name, res, g):
+    zeros, start = res
+    full = jax.lax.dynamic_update_slice_in_dim(zeros, g.astype(zeros.dtype),
+                                               start, axis=axis)
+    import numpy as np
+    return (jax.lax.psum(full, axis_name),
+            np.zeros(jnp.shape(start), jax.dtypes.float0))
+
+
+tp_slice.defvjp(_tp_slice_fwd, _tp_slice_bwd)
 
 
 def _local_flash(q, k, v, kv_mask, causal):

@@ -73,7 +73,7 @@ def _parse_multipart_file(environ, field: str) -> Tuple[str, bytes]:
 class _Pending:
     """One queued generation request."""
 
-    __slots__ = ("intro", "seed", "event", "result", "error")
+    __slots__ = ("intro", "seed", "event", "result", "error", "served_n")
 
     def __init__(self, intro, seed):
         self.intro = intro
@@ -81,6 +81,7 @@ class _Pending:
         self.event = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None
+        self.served_n = 1  # batch size this request was served in
 
 
 class GenerationService:
@@ -144,15 +145,25 @@ class GenerationService:
     def ready(self) -> bool:
         return self._ready
 
-    def generate(self, midi_in: str, midi_out: str, seed: int = 0) -> bool:
+    def generate(self, midi_in: str, midi_out: str,
+                 seed: int = 0) -> Tuple[bool, dict]:
+        """Returns (ok, info): info carries the served batch size and the
+        effective-seed semantics (round-2 verdict: an API that accepts a
+        seed and silently degrades its meaning under load must say so)."""
         if self._generate_fn is not None:
-            return self._generate_fn(midi_in, midi_out, seed)
+            return bool(self._generate_fn(midi_in, midi_out, seed)), {}
         self._ensure()
         import numpy as np
         from .demo import midi_to_window, window_to_midi
         intro = np.asarray(midi_to_window(midi_in, self.cfg.max_len))[0]
-        out = self.submit(intro, seed)
-        return window_to_midi(np.asarray(out), midi_out)
+        req = self._submit_req(intro, seed)
+        info = {
+            "batch_size_served": req.served_n,
+            "seed_semantics": ("per-request" if req.served_n == 1 else
+                               f"batch-level stream over {req.served_n} "
+                               f"coalesced requests"),
+        }
+        return window_to_midi(np.asarray(req.result), midi_out), info
 
     # -- micro-batching queue -------------------------------------------------
 
@@ -161,8 +172,12 @@ class GenerationService:
 
         Thread-safe; concurrent submitters are served by ONE batched decode.
         Note: outputs are sampled from a batch-level rng stream, so
-        per-request seed reproducibility holds only for a batch of one.
+        per-request seed reproducibility holds only for a batch of one
+        (the served batch size is reported on the request/HTTP response).
         """
+        return self._submit_req(intro_window, seed).result
+
+    def _submit_req(self, intro_window, seed: int = 0) -> _Pending:
         req = _Pending(intro_window, seed)
         with self._cond:
             self._queue.append(req)
@@ -174,7 +189,7 @@ class GenerationService:
         req.event.wait()
         if req.error is not None:
             raise req.error
-        return req.result
+        return req
 
     def _decode_batch(self, intros, seeds):
         """(B, S, 8) intros -> (B, S, 8) continuations (one device dispatch)."""
@@ -212,6 +227,7 @@ class GenerationService:
                 self.batch_sizes_served.append(n)
                 for r, o in zip(batch, outs[:n]):
                     r.result = o
+                    r.served_n = n
             except BaseException as exc:  # deliver, don't kill the worker
                 for r in batch:
                     r.error = exc
@@ -221,10 +237,18 @@ class GenerationService:
 
 
 class App:
-    """Minimal WSGI application with the reference's route table."""
+    """Minimal WSGI application with the reference's route table.
 
-    def __init__(self, service: GenerationService, ckpt: Optional[str]):
-        self.service = service
+    ``services`` is a registry of named models ({name: GenerationService}) —
+    the ``<model>`` segment of ``/api/generate/<model>/<file>`` selects one,
+    mirroring the reference's per-model checkpoint selection
+    (``gui/backend/app.py:71-93``).  A single unnamed checkpoint registers
+    as ``pianobart`` (the reference frontend's default model name)."""
+
+    def __init__(self, services, ckpt: Optional[str] = None):
+        if isinstance(services, GenerationService):   # single-model shorthand
+            services = {"pianobart": services}
+        self.services = services
         self.ckpt = ckpt
         os.makedirs(UPLOAD_DIR, exist_ok=True)
         os.makedirs(OUTPUT_DIR, exist_ok=True)
@@ -262,8 +286,11 @@ class App:
         if method == "GET" and path in ("/", "/index.html"):
             return self._file(_STATIC, "index.html")
         if method == "GET" and path == "/api/health":
-            return self._json(200, {"status": "ok", "ckpt": self.ckpt,
-                                    "model_loaded": self.service.ready})
+            return self._json(200, {
+                "status": "ok", "ckpt": self.ckpt,
+                "model_loaded": any(s.ready for s in self.services.values()),
+                "models": {name: {"ckpt": s.ckpt, "loaded": s.ready}
+                           for name, s in self.services.items()}})
         if method == "POST" and path == "/api/upload":
             return self.upload(environ)
         if method == "GET" and path.startswith("/api/generate/"):
@@ -295,20 +322,25 @@ class App:
                                 "audio": os.path.basename(wav) if audio else None})
 
     def generate(self, model: str, fname: str) -> Tuple[str, list, bytes]:
+        service = self.services.get(model)
+        if service is None:
+            return self._json(404, {"error": f"unknown model '{model}'",
+                                    "models": sorted(self.services)})
         src = os.path.join(UPLOAD_DIR, os.path.basename(fname))
         if not os.path.exists(src):
             return self._json(404, {"error": "not uploaded"})
         out_name = f"gen_{os.path.basename(fname)}"
         out = os.path.join(OUTPUT_DIR, out_name)
         t0 = time.time()
-        ok = self.service.generate(src, out)
+        ok, info = service.generate(src, out)
         if not ok:
             return self._json(500, {"error": "generation produced no notes"})
         wav = out.rsplit(".", 1)[0] + ".wav"
         audio = _render_audio(out, wav)
-        return self._json(200, {"file": out_name,
+        return self._json(200, {"file": out_name, "model": model,
                                 "audio": os.path.basename(wav) if audio else None,
-                                "latency_s": round(time.time() - t0, 3)})
+                                "latency_s": round(time.time() - t0, 3),
+                                **info})
 
     def run(self, host: str = "0.0.0.0", port: int = 5000) -> None:
         # Threaded server: concurrent requests must overlap to reach the
@@ -327,5 +359,18 @@ class App:
 
 
 def create_app(ckpt: Optional[str] = None,
-               generate_fn: Optional[Callable] = None) -> App:
-    return App(GenerationService(ckpt=ckpt, generate_fn=generate_fn), ckpt)
+               generate_fn: Optional[Callable] = None,
+               ckpts: Optional[dict] = None,
+               max_batch: int = 8, batch_window_s: float = 0.02) -> App:
+    """``ckpts``: {name: path} registry; ``ckpt``: single checkpoint
+    registered as ``pianobart``.  ``generate_fn`` (tests) applies to every
+    registered model."""
+    if ckpts is None:
+        ckpts = {"pianobart": ckpt}
+    services = {
+        name: GenerationService(ckpt=path, generate_fn=generate_fn,
+                                max_batch=max_batch,
+                                batch_window_s=batch_window_s)
+        for name, path in ckpts.items()}
+    return App(services, ckpt if ckpt is not None
+               else next(iter(ckpts.values()), None))

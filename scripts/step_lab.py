@@ -27,8 +27,9 @@ VARIANTS = {
     "emb":    {"PBX_EMB_ONEHOT_BWD": "1"},
     "qkv":    {"PBX_QKV_FUSED": "1"},
     "ffn2d":  {"PBX_FFN_2D": "1"},
+    "dropln": {"PBX_FUSED_DROPLN": "1"},
     "all":    {"PBX_EMB_ONEHOT_BWD": "1", "PBX_QKV_FUSED": "1",
-               "PBX_FFN_2D": "1"},
+               "PBX_FFN_2D": "1", "PBX_FUSED_DROPLN": "1"},
 }
 
 
@@ -80,7 +81,8 @@ def child() -> None:
         "toks_per_sec": round(B * S / med, 1),
         "loss0": round(loss0, 4),
         "flags": {k: os.environ.get(k, "0") for k in
-                  ("PBX_EMB_ONEHOT_BWD", "PBX_QKV_FUSED", "PBX_FFN_2D")},
+                  ("PBX_EMB_ONEHOT_BWD", "PBX_QKV_FUSED", "PBX_FFN_2D",
+                   "PBX_FUSED_DROPLN")},
     }))
 
 

@@ -97,6 +97,41 @@ def test_unknown_routes(app):
     assert wsgi_call(app, "GET", "/nope")[0] == "404 Not Found"
 
 
+def test_model_registry_selection(tmp_path, monkeypatch, rng):
+    """The <model> path segment selects a registered checkpoint (the
+    round-2 verdict: it was accepted and ignored); unknown names 404 with
+    the available registry."""
+    monkeypatch.chdir(tmp_path)
+    served = []
+
+    def fake_generate(midi_in, midi_out, seed=0):
+        shutil.copyfile(midi_in, midi_out)
+        served.append(midi_out)
+        return True
+
+    app = create_app(ckpts={"base": "ck_a", "finetuned": "ck_b"},
+                     generate_fn=fake_generate)
+
+    status, _, body = wsgi_call(app, "GET", "/api/health")
+    j = json.loads(body)
+    assert set(j["models"]) == {"base", "finetuned"}
+    assert j["models"]["base"]["ckpt"] == "ck_a"
+
+    data = midi_bytes(make_song(rng, n_notes=30))
+    body, ctype = multipart("file", "song.mid", data)
+    _, _, out = wsgi_call(app, "POST", "/api/upload", body, ctype)
+    name = json.loads(out)["file"]
+
+    status, _, out = wsgi_call(app, "GET", f"/api/generate/finetuned/{name}")
+    assert status == "200 OK"
+    assert json.loads(out)["model"] == "finetuned"
+
+    status, _, out = wsgi_call(app, "GET", f"/api/generate/nope/{name}")
+    assert status == "404 Not Found"
+    j = json.loads(out)
+    assert j["models"] == ["base", "finetuned"]
+
+
 def test_generation_service_micro_batching():
     """Concurrent submits are coalesced into ONE batched decode (the
     reference serves strictly batch-1, model.py:29-31)."""

@@ -72,6 +72,66 @@ def test_sp_train_step_matches_dense(rng):
     np.testing.assert_allclose(flat_s, flat_d, rtol=2e-4, atol=2e-5)
 
 
+def test_tp_sp_composed_train_step_matches_dense(rng):
+    """TP∘SP: head-sharded tensor parallelism INSIDE the ring shard_map
+    (cfg.ring_tp_axis) must reproduce the dense step's loss and gradients —
+    the explicit custom-VJP collectives (ops/ring.py replicated_in /
+    psum_out / tp_slice) are what keeps grads exact under check_vma=False."""
+    S = 128
+    base = tiny_config(max_len=S, d_model=128, num_heads=2, emb_size=16,
+                       dropout=0.0)
+    cfg_tpsp = base.replace(ring_axis="sp", ring_tp_axis="tp",
+                            ring_tp_size=2, use_flash_attention=False)
+
+    B = 4
+    batch = np.zeros((B, S, 8), dtype=np.int32)
+    for f in range(8):
+        batch[..., f] = rng.integers(0, V.TOKEN_BOUNDARY[f], (B, S))
+    batch = jnp.asarray(batch)
+    key = jax.random.PRNGKey(5)
+
+    dense_model = PianoBartLM(base)
+    ids = jnp.zeros((2, S, 8), jnp.int32)
+    m = jnp.ones((2, S))
+    params = nn.meta.unbox(dense_model.init(key, ids, ids, m, m))["params"]
+
+    state0 = TrainState.create(apply_fn=dense_model.apply, params=params,
+                               tx=make_optimizer(1e-3))
+    rngc, _ = jax.random.split(jax.random.fold_in(key, state0.step))
+    corrupted, loss_mask = corrupt_batch(rngc, batch, 0.15)
+    dec = shift_right(batch, jnp.asarray(V.SOS, jnp.int32))
+    enc_mask = (corrupted[..., 0] != V.PAD[0]).astype(jnp.float32)
+    dec_mask = (dec[..., 0] != V.PAD[0]).astype(jnp.float32)
+
+    def dense_loss(p):
+        fused = dense_model.apply({"params": p}, corrupted, dec, enc_mask,
+                                  dec_mask, True)
+        return masked_field_ce(fused, batch, loss_mask, base)[0]
+
+    dloss, dgrads = jax.value_and_grad(dense_loss)(params)
+
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    step = make_sp_pretrain_step(cfg_tpsp, mesh, 0.15)
+    state = TrainState.create(apply_fn=None,
+                              params=jax.tree.map(jnp.copy, params),
+                              tx=make_optimizer(1e-3))
+    state, metrics = step(state, batch, key)
+    assert float(metrics["loss"]) == pytest.approx(float(dloss), rel=2e-5)
+
+    import optax
+    state2 = TrainState.create(apply_fn=None,
+                               params=jax.tree.map(jnp.copy, params),
+                               tx=optax.sgd(1.0))
+    state2, _ = step(state2, batch, key)
+    sp_grads = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                            params, state2.params)
+    flat_d = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(dgrads)])
+    flat_s = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(sp_grads)])
+    np.testing.assert_allclose(flat_s, flat_d, rtol=2e-4, atol=2e-5)
+
+
 def test_sp_longer_than_max_len_runs(rng):
     """Sequences of n_sp * local_len flow through weights sized for
     local_len (positional table covers max_len per shard)."""
