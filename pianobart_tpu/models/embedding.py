@@ -11,6 +11,7 @@ tables), so checkpoint parity is preserved.
 """
 from __future__ import annotations
 
+import functools
 import math
 import os
 
@@ -23,34 +24,42 @@ from .config import PianoBartConfig
 # Backward of the fused-table gather: XLA lowers the natural formulation to
 # a scatter-add over the (1280, 256) table — measured ~13 ms/step at B=32
 # (xprof, ROADMAP.md).  With the flag on, the gather carries a custom VJP
-# whose backward is ONE one-hot (N, 1280)^T x (N, E) MXU matmul (bf16
-# operands, f32 accumulation) instead.  Read once at import (env is not a
-# jit cache key), same policy as ops/flash.py.
+# whose backward is 8 PER-FIELD one-hot (N, size_f)^T x (N, E) MXU matmuls
+# (bf16 operands, f32 accumulation) concatenated into the fused table grad.
+# (A single (N, 1280) one-hot matmul was tried first and proved
+# compile-pathological — the remote XLA compile ran >30 min.)  Read once at
+# import (env is not a jit cache key), same policy as ops/flash.py.
 _ONEHOT_BWD = os.environ.get("PBX_EMB_ONEHOT_BWD", "0") == "1"
 
 
-@jax.custom_vjp
-def _gather_rows(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows(table: jax.Array, flat_ids: jax.Array,
+                 field_sizes) -> jax.Array:
     return jnp.take(table, flat_ids, axis=0)
 
 
-def _gather_rows_fwd(table, flat_ids):
+def _gather_rows_fwd(table, flat_ids, field_sizes):
     # residuals must be jax types: carry the table dtype via an empty proto
     return jnp.take(table, flat_ids, axis=0), (
-        flat_ids, table.shape[0], jnp.zeros((0,), table.dtype))
+        flat_ids, jnp.zeros((0,), table.dtype))
 
 
-def _gather_rows_bwd(res, g):
-    flat_ids, n_rows, proto = res
+def _gather_rows_bwd(field_sizes, res, g):
+    flat_ids, proto = res
     table_dtype = proto.dtype
-    ids1 = flat_ids.reshape(-1)                         # (N,)
-    g2 = g.reshape(ids1.shape[0], g.shape[-1])          # (N, E)
     # bf16 operands: exact one-hot, g rounded to bf16 (the activations it
     # came from are bf16 under training anyway); accumulation in f32.
-    onehot = jax.nn.one_hot(ids1, n_rows, dtype=jnp.bfloat16)
-    dtable = jax.lax.dot_general(
-        onehot, g2.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    parts = []
+    off = 0
+    for f, size in enumerate(field_sizes):
+        local = flat_ids[..., f].reshape(-1) - off       # (N,) in [0, size)
+        g_f = g[..., f, :].reshape(local.shape[0], g.shape[-1])
+        onehot = jax.nn.one_hot(local, size, dtype=jnp.bfloat16)
+        parts.append(jax.lax.dot_general(
+            onehot, g_f.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        off += size
+    dtable = jnp.concatenate(parts, axis=0)
     return (dtable.astype(table_dtype),
             jnp.zeros(flat_ids.shape, dtype=jax.dtypes.float0))
 
@@ -73,7 +82,7 @@ class OctupleEmbedding(nn.Module):
         offsets = jnp.asarray(cfg.field_offsets, dtype=ids.dtype)
         flat_ids = ids + offsets  # (B, S, 8) in fused vocab space
         if _ONEHOT_BWD:
-            emb = _gather_rows(table, flat_ids)        # (B, S, 8, E)
+            emb = _gather_rows(table, flat_ids, cfg.field_sizes)  # (B,S,8,E)
         else:
             emb = jnp.take(table, flat_ids, axis=0)    # (B, S, 8, E)
         emb = emb.astype(cfg.dtype) * math.sqrt(cfg.emb_size)  # PianoBart.py:16

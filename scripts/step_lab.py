@@ -94,9 +94,15 @@ def parent() -> None:
             env = dict(os.environ)
             env.update(flags)
             env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                env=env, capture_output=True, text=True, timeout=1800)
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child"],
+                    env=env, capture_output=True, text=True, timeout=1500)
+            except subprocess.TimeoutExpired:
+                # e.g. a compile-pathological variant: record and move on
+                print(f"[{sweep}] {name}: TIMEOUT (>1500 s — likely stuck "
+                      f"in compile); skipping", flush=True)
+                continue
             if p.returncode != 0:
                 print(f"[{sweep}] {name}: FAILED\n{p.stderr[-2000:]}",
                       flush=True)
