@@ -474,20 +474,11 @@ def cmd_make_dict(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from .serve.app import create_app
-    # --ckpt entries: "name=path" registers a named model (the reference
-    # selects checkpoints by model name, gui/backend/app.py:71-93); a bare
-    # path registers as "pianobart".
-    ckpts = {}
-    for entry in args.ckpt or []:
-        if "=" in entry:
-            name, path = entry.split("=", 1)
-        else:
-            name, path = "pianobart", entry
-        if name in ckpts:
-            raise SystemExit(f"duplicate model name '{name}' in --ckpt")
-        ckpts[name] = path
-    app = create_app(ckpts=ckpts or {"pianobart": None},
+    # "name=path" entries register named models (the reference selects
+    # checkpoints by model name, gui/backend/app.py:71-93); a bare path
+    # registers as "pianobart".
+    from .serve.app import create_app, parse_ckpt_registry
+    app = create_app(ckpts=parse_ckpt_registry(args.ckpt),
                      max_batch=args.max_batch,
                      batch_window_s=args.batch_window)
     app.run(host=args.host, port=args.port)

@@ -358,6 +358,22 @@ class App:
             srv.serve_forever()
 
 
+def parse_ckpt_registry(entries) -> dict:
+    """CLI --ckpt entries -> {name: path}: "name=path" registers a named
+    model; a bare path registers as "pianobart" (the reference frontend's
+    default model name).  Duplicate names are an error."""
+    ckpts: dict = {}
+    for entry in entries or []:
+        if "=" in entry:
+            name, path = entry.split("=", 1)
+        else:
+            name, path = "pianobart", entry
+        if name in ckpts:
+            raise SystemExit(f"duplicate model name '{name}' in --ckpt")
+        ckpts[name] = path
+    return ckpts or {"pianobart": None}
+
+
 def create_app(ckpt: Optional[str] = None,
                generate_fn: Optional[Callable] = None,
                ckpts: Optional[dict] = None,

@@ -24,10 +24,10 @@ sys.path.insert(0, REPO)
 
 VARIANTS = {
     "base":   {},
-    "emb":    {"PBX_EMB_ONEHOT_BWD": "1"},
-    "qkv":    {"PBX_QKV_FUSED": "1"},
-    "ffn2d":  {"PBX_FFN_2D": "1"},
     "dropln": {"PBX_FUSED_DROPLN": "1"},
+    "ffn2d":  {"PBX_FFN_2D": "1"},
+    "qkv":    {"PBX_QKV_FUSED": "1"},
+    "emb":    {"PBX_EMB_ONEHOT_BWD": "1"},
     "all":    {"PBX_EMB_ONEHOT_BWD": "1", "PBX_QKV_FUSED": "1",
                "PBX_FFN_2D": "1", "PBX_FUSED_DROPLN": "1"},
 }
@@ -87,20 +87,27 @@ def child() -> None:
 
 
 def parent() -> None:
+    # The remote compile helper is serial AND fragile: killing a client
+    # mid-compile leaves its request grinding and wedges every subsequent
+    # compile for ~30-60 min.  So: strictly serial children, a VERY
+    # generous per-child budget, and the second sweep only re-measures
+    # variants that already succeeded (their executables are cached).
     results: dict = {k: [] for k in VARIANTS}
     losses: dict = {}
     for sweep in range(2):
         for name, flags in VARIANTS.items():
+            if sweep > 0 and not results[name]:
+                continue
             env = dict(os.environ)
             env.update(flags)
             env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
             try:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--child"],
-                    env=env, capture_output=True, text=True, timeout=1500)
+                    env=env, capture_output=True, text=True, timeout=3300)
             except subprocess.TimeoutExpired:
                 # e.g. a compile-pathological variant: record and move on
-                print(f"[{sweep}] {name}: TIMEOUT (>1500 s — likely stuck "
+                print(f"[{sweep}] {name}: TIMEOUT (>3300 s — likely stuck "
                       f"in compile); skipping", flush=True)
                 continue
             if p.returncode != 0:

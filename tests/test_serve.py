@@ -132,6 +132,16 @@ def test_model_registry_selection(tmp_path, monkeypatch, rng):
     assert j["models"] == ["base", "finetuned"]
 
 
+def test_parse_ckpt_registry():
+    from pianobart_tpu.serve.app import parse_ckpt_registry
+    assert parse_ckpt_registry(None) == {"pianobart": None}
+    assert parse_ckpt_registry(["a/b"]) == {"pianobart": "a/b"}
+    assert parse_ckpt_registry(["x=p1", "y=p2", "bare"]) == {
+        "x": "p1", "y": "p2", "pianobart": "bare"}
+    with pytest.raises(SystemExit, match="duplicate"):
+        parse_ckpt_registry(["x=p1", "x=p2"])
+
+
 def test_generation_service_micro_batching():
     """Concurrent submits are coalesced into ONE batched decode (the
     reference serves strictly batch-1, model.py:29-31)."""
