@@ -46,7 +46,12 @@ def _interpret() -> bool:
 
 
 def _rows_per_block(n_rows: int) -> int:
-    r = min(512, n_rows)
+    # 256-row cap: the bwd holds ~6 f32 (r, d) intermediates live; at r=512,
+    # d=1024 that overflows the 16 MB scoped-vmem stack (measured on v5e).
+    # fwd and bwd MUST block identically — the bwd regenerates the dropout
+    # mask by re-seeding the in-kernel PRNG with (seed, program_id), so the
+    # (block index -> rows) mapping is part of the mask's definition.
+    r = min(256, n_rows)
     while n_rows % r:
         r -= 128
     return r
@@ -96,8 +101,8 @@ def _fwd_kernel(seed_ref, h_ref, res_ref, gamma_ref, beta_ref,
     g = gamma_ref[...].astype(jnp.float32)          # (1, D)
     b = beta_ref[...].astype(jnp.float32)
     out_ref[...] = (xhat * g + b).astype(out_ref.dtype)
-    mean_ref[0, :] = mean[:, 0]
-    rstd_ref[0, :] = rstd[:, 0]
+    mean_ref[0, 0, :] = mean[:, 0]
+    rstd_ref[0, 0, :] = rstd[:, 0]
 
 
 def _bwd_kernel(seed_ref, h_ref, res_ref, gamma_ref, mean_ref, rstd_ref,
@@ -107,8 +112,8 @@ def _bwd_kernel(seed_ref, h_ref, res_ref, gamma_ref, mean_ref, rstd_ref,
     ks = jnp.float32(_keep_scale(rate))
     h = h_ref[...].astype(jnp.float32) * ks
     y = res_ref[...].astype(jnp.float32) + jnp.where(keep, h, 0.0)
-    mean = mean_ref[0, :][:, None]                  # (R, 1)
-    rstd = rstd_ref[0, :][:, None]
+    mean = mean_ref[0, 0, :][:, None]               # (R, 1)
+    rstd = rstd_ref[0, 0, :][:, None]
     xhat = (y - mean) * rstd
     dout = dout_ref[...].astype(jnp.float32)
     g = dout * gamma_ref[...].astype(jnp.float32)   # dL/dxhat
@@ -117,8 +122,8 @@ def _bwd_kernel(seed_ref, h_ref, res_ref, gamma_ref, mean_ref, rstd_ref,
     dy = rstd * (g - m1 - xhat * m2)
     dres_ref[...] = dy.astype(dres_ref.dtype)
     dh_ref[...] = jnp.where(keep, dy * ks, 0.0).astype(dh_ref.dtype)
-    dgamma_ref[0, :] = (dout * xhat).sum(axis=0)
-    dbeta_ref[0, :] = dout.sum(axis=0)
+    dgamma_ref[0, 0, :] = (dout * xhat).sum(axis=0)
+    dbeta_ref[0, 0, :] = dout.sum(axis=0)
 
 
 def _host_bits(seed, n, d):
@@ -153,13 +158,14 @@ def _fwd_call(h2, res2, gamma, beta, seed, rate, eps):
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((r, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, r), lambda i: (i, 0)),
-            pl.BlockSpec((1, r), lambda i: (i, 0)),
+            # unit middle dim: trailing block dims == array dims -> legal
+            pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, d), h2.dtype),
-            jax.ShapeDtypeStruct((nb, r), jnp.float32),
-            jax.ShapeDtypeStruct((nb, r), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, r), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, r), jnp.float32),
         ],
         interpret=_interpret(),
     )(*args)
@@ -176,8 +182,8 @@ def _bwd_call(h2, res2, gamma, mean, rstd, dout2, seed, rate, eps):
         pl.BlockSpec((r, d), lambda i: (i, 0)),
         pl.BlockSpec((r, d), lambda i: (i, 0)),
         pl.BlockSpec((1, d), lambda i: (0, 0)),
-        pl.BlockSpec((1, r), lambda i: (i, 0)),
-        pl.BlockSpec((1, r), lambda i: (i, 0)),
+        pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0)),
         pl.BlockSpec((r, d), lambda i: (i, 0)),
     ]
     args = [seed_arr, h2, res2, gamma.reshape(1, d), mean, rstd, dout2]
@@ -196,18 +202,18 @@ def _bwd_call(h2, res2, gamma, mean, rstd, dout2, seed, rate, eps):
         out_specs=[
             pl.BlockSpec((r, d), lambda i: (i, 0)),
             pl.BlockSpec((r, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, d), h2.dtype),
             jax.ShapeDtypeStruct((n, d), res2.dtype),
-            jax.ShapeDtypeStruct((nb, d), jnp.float32),
-            jax.ShapeDtypeStruct((nb, d), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, d), jnp.float32),
         ],
         interpret=_interpret(),
     )(*args)
-    return dh, dres, dgamma_p.sum(0), dbeta_p.sum(0)
+    return dh, dres, dgamma_p.sum((0, 1)), dbeta_p.sum((0, 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

@@ -30,6 +30,13 @@ VARIANTS = {
     "emb":    {"PBX_EMB_ONEHOT_BWD": "1"},
     "all":    {"PBX_EMB_ONEHOT_BWD": "1", "PBX_QKV_FUSED": "1",
                "PBX_FFN_2D": "1", "PBX_FUSED_DROPLN": "1"},
+    # the winning combination: everything that measured positive alone
+    # (qkv fusion measured -5% — excluded)
+    "best":   {"PBX_EMB_ONEHOT_BWD": "1", "PBX_FFN_2D": "1",
+               "PBX_FUSED_DROPLN": "1"},
+    # dropln measured -2% alone (447 vs 438 ms): XLA's own dropout+add+LN
+    # loop fusions beat the hand kernel.  ffn2d+emb is the positive pair.
+    "fe":     {"PBX_EMB_ONEHOT_BWD": "1", "PBX_FFN_2D": "1"},
 }
 
 
