@@ -38,16 +38,17 @@ NEG_INF = -1e9
 #   the per-projection kernels at apply time.  Param tree unchanged
 #   (q_proj/k_proj/v_proj survive for checkpoint parity); numerics identical
 #   (each output column is the same dot product).
-# * PBX_FFN_2D=1 — run the FFN matmuls on (B*S, d) views; the 3D formulation
+# * PBX_FFN_2D — run the FFN matmuls on (B*S, d) views; the 3D formulation
 #   makes XLA pick a {1,2,0} layout for the fc2 forward output and pay a
-#   ~10 ms/step copy (xprof, ROADMAP.md).
+#   ~10 ms/step copy (xprof, ROADMAP.md).  Measured +5.6% full step
+#   (step_lab, 438.0 -> 414.6 ms) — ON by default; PBX_FFN_2D=0 reverts.
 # * PBX_FUSED_DROPLN=1 — run every sublayer tail
 #   LayerNorm(residual + dropout(h)) as ONE pallas kernel with in-kernel
 #   PRNG (ops/fused_ln.py): no (B, S, D) dropout masks materialize in HBM
 #   (1.3 GB of backward residuals at the flagship shape) and the
 #   select+add+reduce loop fusions collapse into the same pass.
 _QKV_FUSED = os.environ.get("PBX_QKV_FUSED", "0") == "1"
-_FFN_2D = os.environ.get("PBX_FFN_2D", "0") == "1"
+_FFN_2D = os.environ.get("PBX_FFN_2D", "1") == "1"
 _FUSED_DROPLN = os.environ.get("PBX_FUSED_DROPLN", "0") == "1"
 
 

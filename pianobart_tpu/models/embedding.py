@@ -29,7 +29,9 @@ from .config import PianoBartConfig
 # (A single (N, 1280) one-hot matmul was tried first and proved
 # compile-pathological — the remote XLA compile ran >30 min.)  Read once at
 # import (env is not a jit cache key), same policy as ops/flash.py.
-_ONEHOT_BWD = os.environ.get("PBX_EMB_ONEHOT_BWD", "0") == "1"
+# Measured +1.2% full step alone and +1.2% on top of FFN-2D (step_lab,
+# 414.3 -> 409.4/408.7 ms) — ON by default; PBX_EMB_ONEHOT_BWD=0 reverts.
+_ONEHOT_BWD = os.environ.get("PBX_EMB_ONEHOT_BWD", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

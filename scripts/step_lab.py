@@ -22,21 +22,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Settled (interleaved medians, v5e, B=32, 2026-08-17): ffn2d 414.6 ms vs
+# 438.0 base (+5.6%), emb 433.0 (+1.2%), ffn2d+emb 409.4/408.7 (80.0k
+# tok/s) — BOTH NOW DEFAULTS.  qkv 462.0 (-5%), fused dropln 447.2 (-2%,
+# XLA's own dropout+add+LN loop fusions win), dropln+defaults 421.3 —
+# keep off.  Variant names reflect the new defaults: "base" is the
+# shipping config; the others toggle one lever each.
 VARIANTS = {
-    "base":   {},
-    "dropln": {"PBX_FUSED_DROPLN": "1"},
-    "ffn2d":  {"PBX_FFN_2D": "1"},
-    "qkv":    {"PBX_QKV_FUSED": "1"},
-    "emb":    {"PBX_EMB_ONEHOT_BWD": "1"},
-    "all":    {"PBX_EMB_ONEHOT_BWD": "1", "PBX_QKV_FUSED": "1",
-               "PBX_FFN_2D": "1", "PBX_FUSED_DROPLN": "1"},
-    # the winning combination: everything that measured positive alone
-    # (qkv fusion measured -5% — excluded)
-    "best":   {"PBX_EMB_ONEHOT_BWD": "1", "PBX_FFN_2D": "1",
-               "PBX_FUSED_DROPLN": "1"},
-    # dropln measured -2% alone (447 vs 438 ms): XLA's own dropout+add+LN
-    # loop fusions beat the hand kernel.  ffn2d+emb is the positive pair.
-    "fe":     {"PBX_EMB_ONEHOT_BWD": "1", "PBX_FFN_2D": "1"},
+    "base":      {},
+    "ffn3d":     {"PBX_FFN_2D": "0"},
+    "scat_emb":  {"PBX_EMB_ONEHOT_BWD": "0"},
+    "legacy":    {"PBX_FFN_2D": "0", "PBX_EMB_ONEHOT_BWD": "0"},
+    "dropln":    {"PBX_FUSED_DROPLN": "1"},
+    "qkv":       {"PBX_QKV_FUSED": "1"},
 }
 
 

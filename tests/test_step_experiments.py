@@ -43,6 +43,7 @@ def _loss_fn(model, ids, m):
 
 def test_qkv_fused_matches_unfused(monkeypatch):
     cfg, model, params, ids, m = _setup()
+    monkeypatch.setattr(bart_mod, "_QKV_FUSED", False)
     base = model.apply(params, ids, ids, m, m, True)
     g_base = jax.grad(_loss_fn(model, ids, m))(params)
 
@@ -68,6 +69,7 @@ def test_qkv_fused_decode_cache_path_unchanged(monkeypatch):
     using the per-projection path (and stay consistent with training)."""
     from pianobart_tpu.decode import generate
     cfg, model, params, ids, m = _setup()
+    monkeypatch.setattr(bart_mod, "_QKV_FUSED", False)
     out_base = generate(params, ids[:1], cfg=cfg, max_steps=4)
     monkeypatch.setattr(bart_mod, "_QKV_FUSED", True)
     out_fused = generate(params, ids[:1], cfg=cfg, max_steps=4)
@@ -76,6 +78,7 @@ def test_qkv_fused_decode_cache_path_unchanged(monkeypatch):
 
 def test_ffn_2d_matches_3d(monkeypatch):
     cfg, model, params, ids, m = _setup()
+    monkeypatch.setattr(bart_mod, "_FFN_2D", False)
     base = model.apply(params, ids, ids, m, m, True)
     monkeypatch.setattr(bart_mod, "_FFN_2D", True)
     out = model.apply(params, ids, ids, m, m, True)
@@ -85,6 +88,7 @@ def test_ffn_2d_matches_3d(monkeypatch):
 
 def test_emb_onehot_bwd_matches_scatter(monkeypatch):
     cfg, model, params, ids, m = _setup()
+    monkeypatch.setattr(emb_mod, "_ONEHOT_BWD", False)
     g_base = jax.grad(_loss_fn(model, ids, m))(params)
     monkeypatch.setattr(emb_mod, "_ONEHOT_BWD", True)
     g_flag = jax.grad(_loss_fn(model, ids, m))(params)
@@ -106,6 +110,7 @@ def test_emb_onehot_bwd_matches_scatter(monkeypatch):
 
 def test_emb_onehot_forward_identical(monkeypatch):
     cfg, model, params, ids, m = _setup()
+    monkeypatch.setattr(emb_mod, "_ONEHOT_BWD", False)
     base = model.apply(params, ids, ids, m, m, True)
     monkeypatch.setattr(emb_mod, "_ONEHOT_BWD", True)
     out = model.apply(params, ids, ids, m, m, True)
