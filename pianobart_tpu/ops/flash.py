@@ -18,7 +18,11 @@ MXU operands are upcast to f32 (accumulation f32 via
 ``preferred_element_type``).  A bf16-operand variant (``PBX_FLASH_BF16=1``)
 was measured SLOWER on v5e — these kernels are VPU-bound, and the extra
 (S, S) cast passes cost more than the MXU passes they save (attn fwd+bwd
-11.0 vs 8.6 ms/module at B=32, S=1024).  Measured on v5e, the H-in-lanes
+11.0 vs 8.6 ms/module at B=32, S=1024).  ``PBX_FLASH_MIXED=1`` feeds the
+MXU bf16 only on the two dots whose operands are HBM-natural bf16
+(S = Q·Kᵀ, dP = dO·Vᵀ) — no new casts, fewer f32 decomposition passes,
+numerically equivalent (bf16-valued products are exact under f32
+accumulation either way).  Measured on v5e, the H-in-lanes
 layout beats the transpose-based one 2.82 vs 3.52 ms/module forward and
 407.7 vs 424.0 ms on the full-model fwd+bwd probe (scripts/perf_probe.py).
 
@@ -51,35 +55,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# MXU operand dtype experiment: by default score/grad matmul operands are
+# MXU operand dtype experiments: by default score/grad matmul operands are
 # upcast to f32 (accumulation is f32 either way).  PBX_FLASH_BF16=1 keeps
-# operands in the model dtype (bf16 under training) — measured SLOWER on
-# v5e (the kernels are VPU-bound; the extra (S,S) cast passes cost more
-# than the MXU passes they save), kept as a switch for re-evaluation.
-# Read ONCE at import: reading inside the kernel would make the flag a
+# ALL operands in the model dtype (bf16 under training) — measured SLOWER
+# on v5e (the extra (S,S) casts of the f32 softmax/dS intermediates cost
+# more than the MXU passes they save), kept as a switch for re-evaluation.
+# PBX_FLASH_MIXED=1 is the surgical middle ground: only the two dots whose
+# operands are ALREADY bf16 in HBM (S = Q·Kᵀ and dP = dO·Vᵀ) feed the MXU
+# in bf16 — zero new cast passes (it even drops today's (S,D) upcasts),
+# while every dot touching the f32 (S,S) P/dS intermediates stays f32.
+# For bf16-valued inputs the products are exact in f32 accumulation either
+# way, so the mixed path is numerically equivalent to the default.
+# Read ONCE at import: reading inside the kernel would make the flags a
 # silent no-op after the first jit compile (env is not a jit cache key).
 _BF16_OPERANDS = os.environ.get("PBX_FLASH_BF16", "0") == "1"
+_MIXED_OPERANDS = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
+                   and not _BF16_OPERANDS)
 
 
-_warned_bf16_freeze = False
+_warned_flag_freeze = False
 
 
 def _check_bf16_flag_freeze() -> None:
-    """Warn once if PBX_FLASH_BF16 changed after import (frozen then)."""
-    global _warned_bf16_freeze
-    now = os.environ.get("PBX_FLASH_BF16", "0") == "1"
-    if now != _BF16_OPERANDS and not _warned_bf16_freeze:
-        _warned_bf16_freeze = True
+    """Warn once if an operand-dtype flag changed after import (frozen)."""
+    global _warned_flag_freeze
+    now_bf16 = os.environ.get("PBX_FLASH_BF16", "0") == "1"
+    now_mixed = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
+                 and not now_bf16)
+    if ((now_bf16 != _BF16_OPERANDS or now_mixed != _MIXED_OPERANDS)
+            and not _warned_flag_freeze):
+        _warned_flag_freeze = True
         import warnings
         warnings.warn(
-            f"PBX_FLASH_BF16={int(now)} set after pianobart_tpu.ops.flash "
-            f"was imported; the flag is frozen at import time "
-            f"(operands stay {'bf16' if _BF16_OPERANDS else 'f32'}). "
-            f"Set it before the first import.", stacklevel=3)
+            f"PBX_FLASH_BF16={int(now_bf16)}/PBX_FLASH_MIXED={int(now_mixed)}"
+            f" set after pianobart_tpu.ops.flash was imported; the flags are"
+            f" frozen at import time (bf16={_BF16_OPERANDS},"
+            f" mixed={_MIXED_OPERANDS}). Set them before the first import.",
+            stacklevel=3)
 
 
 def _mxu_in(x):
+    """Operand of a dot whose counterpart is an f32 (S,S) intermediate."""
     if _BF16_OPERANDS:
+        return x
+    return x.astype(jnp.float32)
+
+
+def _score_in(x):
+    """Operand of the S = Q·Kᵀ / dP = dO·Vᵀ dots (both sides HBM-natural).
+
+    Under MIXED (or full-BF16) these stay in the model dtype: both sides
+    are already bf16, so the MXU takes them in one pass with no casts.
+    """
+    if _BF16_OPERANDS or _MIXED_OPERANDS:
         return x
     return x.astype(jnp.float32)
 
@@ -152,8 +180,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
 
     @pl.when(run)
     def _compute():
-        q = _mxu_in(q_ref[0])                               # (Bq, D)
-        k = _mxu_in(k_ref[0])                               # (Bkv, D)
+        q = _score_in(q_ref[0])                             # (Bq, D)
+        k = _score_in(k_ref[0])                             # (Bkv, D)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = mask_ref[0, 0] != 0                          # (Bkv,)
@@ -257,12 +285,9 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        q = _mxu_in(q_ref[0])
-        k = _mxu_in(k_ref[0])
-        v = _mxu_in(v_ref[0])
-        do = _mxu_in(do_ref[0])
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            _score_in(q_ref[0]), _score_in(k_ref[0]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         mask = mask_ref[0, 0] != 0
         s = jnp.where(mask[None, :], s, NEG_INF)
         if causal:
@@ -272,9 +297,11 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0, 0, 0][:, None])              # (Bq, Bkv) f32
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            _score_in(do_ref[0]), _score_in(v_ref[0]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, 0, 0][:, None])
+        k = _mxu_in(k_ref[0])
         dq_acc[...] += jax.lax.dot_general(
             _p_for_dot(ds, k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -302,12 +329,9 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        q = _mxu_in(q_ref[0])
-        k = _mxu_in(k_ref[0])
-        v = _mxu_in(v_ref[0])
-        do = _mxu_in(do_ref[0])
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            _score_in(q_ref[0]), _score_in(k_ref[0]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         mask = mask_ref[0, 0] != 0
         s = jnp.where(mask[None, :], s, NEG_INF)
         if causal:
@@ -317,12 +341,15 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0, 0, 0][:, None])              # (Bq, Bkv) f32
+        do = _mxu_in(do_ref[0])
         dv_acc[...] += jax.lax.dot_general(
             _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            _score_in(do_ref[0]), _score_in(v_ref[0]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, 0, 0][:, None])             # (Bq, Bkv)
+        q = _mxu_in(q_ref[0])
         dk_acc[...] += jax.lax.dot_general(
             _p_for_dot(ds, q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -345,12 +372,9 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     multi-block shapes fall back to the two-kernel path, whose accumulator
     lifetimes don't fit a single grid order.
     """
-    q = _mxu_in(q_ref[0])
-    k = _mxu_in(k_ref[0])
-    v = _mxu_in(v_ref[0])
-    do = _mxu_in(do_ref[0])
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    s = jax.lax.dot_general(
+        _score_in(q_ref[0]), _score_in(k_ref[0]),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     mask = mask_ref[0, 0] != 0
     s = jnp.where(mask[None, :], s, NEG_INF)
     if causal:
@@ -358,15 +382,19 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         s = jnp.where(rows >= cols, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0, 0][:, None])                 # (Bq, Bkv) f32
+    do = _mxu_in(do_ref[0])
     dv_ref[0] = jax.lax.dot_general(
         _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        _score_in(do_ref[0]), _score_in(v_ref[0]),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - delta_ref[0, 0, 0][:, None])
+    k = _mxu_in(k_ref[0])
     dq_ref[0] = jax.lax.dot_general(
         _p_for_dot(ds, k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    q = _mxu_in(q_ref[0])
     dk_ref[0] = jax.lax.dot_general(
         _p_for_dot(ds, q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)

@@ -35,6 +35,9 @@ VARIANTS = {
     "legacy":    {"PBX_FFN_2D": "0", "PBX_EMB_ONEHOT_BWD": "0"},
     "dropln":    {"PBX_FUSED_DROPLN": "1"},
     "qkv":       {"PBX_QKV_FUSED": "1"},
+    # bf16 MXU operands ONLY for the QKᵀ / dO·Vᵀ dots inside the flash
+    # kernels (both sides HBM-natural bf16 — zero cast passes added)
+    "mixed":     {"PBX_FLASH_MIXED": "1"},
 }
 
 
@@ -97,10 +100,15 @@ def parent() -> None:
     # compile for ~30-60 min.  So: strictly serial children, a VERY
     # generous per-child budget, and the second sweep only re-measures
     # variants that already succeeded (their executables are cached).
-    results: dict = {k: [] for k in VARIANTS}
+    # --variants a,b,c restricts the sweep (e.g. "base,mixed").
+    chosen = dict(VARIANTS)
+    if "--variants" in sys.argv:
+        names = sys.argv[sys.argv.index("--variants") + 1].split(",")
+        chosen = {n: VARIANTS[n] for n in names}
+    results: dict = {k: [] for k in chosen}
     losses: dict = {}
     for sweep in range(2):
-        for name, flags in VARIANTS.items():
+        for name, flags in chosen.items():
             if sweep > 0 and not results[name]:
                 continue
             env = dict(os.environ)

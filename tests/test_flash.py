@@ -162,3 +162,42 @@ def test_bf16_operand_switch(monkeypatch):
                                    rtol=3e-2, atol=8e-2,
                                    err_msg=f"d{name}: bf16-operand vs "
                                            f"f32-operand flash")
+
+
+def test_mixed_operand_switch(monkeypatch):
+    """PBX_FLASH_MIXED (bf16 MXU operands ONLY for the QKT / dO.VT dots,
+    whose operands are HBM-natural bf16): forward and gradients must be
+    numerically equivalent to the committed f32-operand path — the bf16
+    products are exact under f32 accumulation either way; the only
+    daylight is f32 summation-order noise flipping the last bf16 output
+    bit, so the tolerance is one-bf16-ULP scale, not an XLA-within-x%."""
+    from pianobart_tpu.ops import flash as flash_mod
+    q, k, v, mask = setup(seed=5)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    def loss(q_, k_, v_, causal):
+        o = flash_mod.flash_attention(q_, k_, v_, mask, causal, BLK, BLK)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    for causal in (False, True):
+        monkeypatch.setattr(flash_mod, "_MIXED_OPERANDS", False)
+        monkeypatch.setenv("PBX_FLASH_MIXED", "0")
+        out_f32 = flash_mod.flash_attention(qb, kb, vb, mask, causal,
+                                            BLK, BLK)
+        g_f32 = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb, causal)
+
+        monkeypatch.setattr(flash_mod, "_MIXED_OPERANDS", True)
+        monkeypatch.setenv("PBX_FLASH_MIXED", "1")
+        out_mix = flash_mod.flash_attention(qb, kb, vb, mask, causal,
+                                            BLK, BLK)
+        g_mix = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb, causal)
+
+        np.testing.assert_allclose(np.asarray(out_mix, np.float32),
+                                   np.asarray(out_f32, np.float32),
+                                   rtol=1e-2, atol=2e-3,
+                                   err_msg=f"mixed fwd (causal={causal})")
+        for name, a, b in zip("qkv", g_mix, g_f32):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-2, atol=2e-2,
+                err_msg=f"d{name}: mixed vs f32 (causal={causal})")
