@@ -41,6 +41,20 @@ VARIANTS = {
 }
 
 
+def _effective_flags() -> dict:
+    from pianobart_tpu.models import bart as bart_mod
+    from pianobart_tpu.models import embedding as emb_mod
+    from pianobart_tpu.ops import flash as flash_mod
+    return {
+        "ffn_2d": bart_mod._FFN_2D,
+        "emb_onehot_bwd": emb_mod._ONEHOT_BWD,
+        "qkv_fused": bart_mod._QKV_FUSED,
+        "fused_dropln": bart_mod._FUSED_DROPLN,
+        "flash_mixed": flash_mod._MIXED_OPERANDS,
+        "flash_bf16": flash_mod._BF16_OPERANDS,
+    }
+
+
 def child() -> None:
     import numpy as np
     import jax
@@ -88,9 +102,9 @@ def child() -> None:
         "step_ms": round(med * 1e3, 1),
         "toks_per_sec": round(B * S / med, 1),
         "loss0": round(loss0, 4),
-        "flags": {k: os.environ.get(k, "0") for k in
-                  ("PBX_EMB_ONEHOT_BWD", "PBX_QKV_FUSED", "PBX_FFN_2D",
-                   "PBX_FUSED_DROPLN")},
+        # effective module values, not raw env: FFN_2D / ONEHOT_BWD
+        # default ON when the env var is unset
+        "flags": _effective_flags(),
     }))
 
 
