@@ -17,6 +17,7 @@ functional KV cache for the scanned decode loop (the reference re-encodes all
 """
 from __future__ import annotations
 
+import math
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -42,6 +43,9 @@ NEG_INF = -1e9
 #   makes XLA pick a {1,2,0} layout for the fc2 forward output and pay a
 #   ~10 ms/step copy (xprof, ROADMAP.md).  Measured +5.6% full step
 #   (step_lab, 438.0 -> 414.6 ms) — ON by default; PBX_FFN_2D=0 reverts.
+#   Applied only when the static token count B*S >= 4096: at KV-cached
+#   decode shapes the same views slow the whole loop ~17% (decode_lab,
+#   0.404 vs 0.473 s batch-1 medians), so small shapes keep the 3D path.
 # * PBX_FUSED_DROPLN=1 — run every sublayer tail
 #   LayerNorm(residual + dropout(h)) as ONE pallas kernel with in-kernel
 #   PRNG (ops/fused_ln.py): no (B, S, D) dropout masks materialize in HBM
@@ -49,6 +53,9 @@ NEG_INF = -1e9
 #   select+add+reduce loop fusions collapse into the same pass.
 _QKV_FUSED = os.environ.get("PBX_QKV_FUSED", "0") == "1"
 _FFN_2D = os.environ.get("PBX_FFN_2D", "1") == "1"
+# Token-count gate for the 2D FFN views (see above): training shapes
+# (B*S >= this) take the 2D path, decode/eval-tail shapes keep 3D.
+_FFN_2D_MIN_TOKENS = 4096
 _FUSED_DROPLN = os.environ.get("PBX_FUSED_DROPLN", "0") == "1"
 
 
@@ -244,13 +251,20 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
         shape3 = x.shape
-        if _FFN_2D:
+        # 2D views only pay off at training token counts, where they kill
+        # fc2's {1,2,0} output-layout copy (438.0 -> 414.6 ms, step_lab).
+        # At KV-cached decode shapes ((B, 1, d) per step) the SAME views
+        # make the whole 1024-step loop ~17% slower (decode_lab, 0.404 vs
+        # 0.473 s median) — the reshapes change XLA's in-loop layout
+        # choices.  Shapes are static under jit, so gate on token count.
+        use_2d = _FFN_2D and math.prod(shape3[:-1]) >= _FFN_2D_MIN_TOKENS
+        if use_2d:
             x = x.reshape(-1, shape3[-1])   # (B*S, d): friendlier fc2 layout
         h = _dense(cfg.ffn_dim, cfg, ("embed", "mlp"), "fc1")(x)
         h = jax.nn.gelu(h, approximate=False)
         h = Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
         h = _dense(cfg.d_model, cfg, ("mlp", "embed"), "fc2")(h)
-        if _FFN_2D:
+        if use_2d:
             h = h.reshape(shape3)
         return h
 

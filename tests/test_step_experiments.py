@@ -81,9 +81,28 @@ def test_ffn_2d_matches_3d(monkeypatch):
     monkeypatch.setattr(bart_mod, "_FFN_2D", False)
     base = model.apply(params, ids, ids, m, m, True)
     monkeypatch.setattr(bart_mod, "_FFN_2D", True)
+    # tiny shapes sit below the token-count gate; drop it so the 2D branch
+    # actually runs (training shapes clear the real 4096 threshold)
+    monkeypatch.setattr(bart_mod, "_FFN_2D_MIN_TOKENS", 0)
     out = model.apply(params, ids, ids, m, m, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_ffn_2d_gate_keeps_3d_at_decode_shapes(monkeypatch):
+    """Below the token gate the 2D flag must be a no-op: no reshape pair in
+    the traced program (decode_lab measured the views ~17% slower over the
+    KV-cached loop, so small shapes keep the 3D formulation)."""
+    cfg, model, params, ids, m = _setup()
+    monkeypatch.setattr(bart_mod, "_FFN_2D", True)
+
+    def n_ffn_reshapes(min_tokens):
+        monkeypatch.setattr(bart_mod, "_FFN_2D_MIN_TOKENS", min_tokens)
+        jaxpr = jax.make_jaxpr(
+            lambda p: model.apply(p, ids, ids, m, m, True))(params)
+        return str(jaxpr).count("reshape")
+
+    assert n_ffn_reshapes(10 ** 9) < n_ffn_reshapes(0)
 
 
 def test_emb_onehot_bwd_matches_scatter(monkeypatch):
