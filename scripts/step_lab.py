@@ -36,7 +36,10 @@ VARIANTS = {
     "dropln":    {"PBX_FUSED_DROPLN": "1"},
     "qkv":       {"PBX_QKV_FUSED": "1"},
     # bf16 MXU operands ONLY for the QKᵀ / dO·Vᵀ dots inside the flash
-    # kernels (both sides HBM-natural bf16 — zero cast passes added)
+    # kernels (both sides HBM-natural bf16 — zero cast passes added).
+    # SETTLED 2026-08-17: compile-pathological on the remote XLA helper
+    # (>55 min vs base's cached compile + 408.7 ms measurement in the
+    # same sweep) — keep PBX_FLASH_MIXED off; see ROADMAP.md §3.
     "mixed":     {"PBX_FLASH_MIXED": "1"},
 }
 
