@@ -34,31 +34,35 @@ from .config import PianoBartConfig
 _ONEHOT_BWD = os.environ.get("PBX_EMB_ONEHOT_BWD", "1") == "1"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_rows(table: jax.Array, flat_ids: jax.Array,
-                 field_sizes) -> jax.Array:
+                 field_sizes, op_dtype) -> jax.Array:
     return jnp.take(table, flat_ids, axis=0)
 
 
-def _gather_rows_fwd(table, flat_ids, field_sizes):
+def _gather_rows_fwd(table, flat_ids, field_sizes, op_dtype):
     # residuals must be jax types: carry the table dtype via an empty proto
     return jnp.take(table, flat_ids, axis=0), (
         flat_ids, jnp.zeros((0,), table.dtype))
 
 
-def _gather_rows_bwd(field_sizes, res, g):
+def _gather_rows_bwd(field_sizes, op_dtype, res, g):
     flat_ids, proto = res
     table_dtype = proto.dtype
-    # bf16 operands: exact one-hot, g rounded to bf16 (the activations it
-    # came from are bf16 under training anyway); accumulation in f32.
+    # op_dtype follows the model compute dtype (OctupleEmbedding): under
+    # bf16 training the cotangent's VALUES are already bf16-representable
+    # (it came through the bf16 activation cast), so bf16 MXU operands are
+    # lossless; an f32 model keeps exact f32 operands rather than rounding
+    # a genuinely-f32 cotangent (round-2 review finding).  One-hot values
+    # are exact in any dtype; accumulation is always f32.
     parts = []
     off = 0
     for f, size in enumerate(field_sizes):
         local = flat_ids[..., f].reshape(-1) - off       # (N,) in [0, size)
         g_f = g[..., f, :].reshape(local.shape[0], g.shape[-1])
-        onehot = jax.nn.one_hot(local, size, dtype=jnp.bfloat16)
+        onehot = jax.nn.one_hot(local, size, dtype=op_dtype)
         parts.append(jax.lax.dot_general(
-            onehot, g_f.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            onehot, g_f.astype(op_dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
         off += size
     dtable = jnp.concatenate(parts, axis=0)
@@ -84,7 +88,10 @@ class OctupleEmbedding(nn.Module):
         offsets = jnp.asarray(cfg.field_offsets, dtype=ids.dtype)
         flat_ids = ids + offsets  # (B, S, 8) in fused vocab space
         if _ONEHOT_BWD:
-            emb = _gather_rows(table, flat_ids, cfg.field_sizes)  # (B,S,8,E)
+            op_dtype = (jnp.bfloat16 if cfg.dtype == jnp.bfloat16
+                        else jnp.float32)
+            emb = _gather_rows(table, flat_ids, cfg.field_sizes,
+                               op_dtype)  # (B,S,8,E)
         else:
             emb = jnp.take(table, flat_ids, axis=0)    # (B, S, 8, E)
         emb = emb.astype(cfg.dtype) * math.sqrt(cfg.emb_size)  # PianoBart.py:16

@@ -95,7 +95,11 @@ def _fwd_kernel(seed_ref, h_ref, res_ref, gamma_ref, beta_ref,
     h = h_ref[...].astype(jnp.float32) * jnp.float32(_keep_scale(rate))
     y = res_ref[...].astype(jnp.float32) + jnp.where(keep, h, 0.0)
     mean = y.mean(axis=1, keepdims=True)
-    var = (y * y).mean(axis=1, keepdims=True) - mean * mean
+    # clamp like flax _compute_stats / the unfused fallback (bart.py): f32
+    # cancellation can push E[y^2]-mean^2 below -eps for large near-constant
+    # rows, and rsqrt(negative) would poison the step with NaN
+    var = jnp.maximum(
+        0.0, (y * y).mean(axis=1, keepdims=True) - mean * mean)
     rstd = jax.lax.rsqrt(var + jnp.float32(eps))
     xhat = (y - mean) * rstd
     g = gamma_ref[...].astype(jnp.float32)          # (1, D)

@@ -329,7 +329,10 @@ class App:
         src = os.path.join(UPLOAD_DIR, os.path.basename(fname))
         if not os.path.exists(src):
             return self._json(404, {"error": "not uploaded"})
-        out_name = f"gen_{os.path.basename(fname)}"
+        # model name in the output path: with a multi-model registry, two
+        # models generating from the same upload must not overwrite each
+        # other's MIDI/WAV (round-3 review finding)
+        out_name = f"gen_{model}_{os.path.basename(fname)}"
         out = os.path.join(OUTPUT_DIR, out_name)
         t0 = time.time()
         ok, info = service.generate(src, out)
@@ -361,11 +364,16 @@ class App:
 def parse_ckpt_registry(entries) -> dict:
     """CLI --ckpt entries -> {name: path}: "name=path" registers a named
     model; a bare path registers as "pianobart" (the reference frontend's
-    default model name).  Duplicate names are an error."""
+    default model name).  Duplicate names are an error.
+
+    A '=' only splits when the left side looks like a model NAME (no path
+    separator): ``--ckpt result/lr=1e-3/best`` is a bare path with '=' in a
+    directory name, not a registration of model "result/lr"."""
     ckpts: dict = {}
     for entry in entries or []:
-        if "=" in entry:
-            name, path = entry.split("=", 1)
+        name, sep, path = entry.partition("=")
+        if sep and name and os.sep not in name and "/" not in name:
+            pass                       # explicit name=path registration
         else:
             name, path = "pianobart", entry
         if name in ckpts:

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -75,33 +74,13 @@ def child() -> None:
 
 
 def parent() -> None:
-    results: dict = {k: [] for k in VARIANTS}
-    for sweep in range(2):
-        for name, flags in VARIANTS.items():
-            if sweep > 0 and not results[name]:
-                continue
-            env = dict(os.environ)
-            env.update(flags)
-            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-            try:
-                p = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--child"],
-                    env=env, capture_output=True, text=True, timeout=3300)
-            except subprocess.TimeoutExpired:
-                print(f"[{sweep}] {name}: TIMEOUT", flush=True)
-                continue
-            if p.returncode != 0:
-                print(f"[{sweep}] {name}: FAILED\n{p.stderr[-2000:]}",
-                      flush=True)
-                continue
-            out = json.loads(p.stdout.strip().splitlines()[-1])
-            results[name].append(out["decode_s"])
-            print(f"[{sweep}] {name:6s} {out['decode_s']:6.3f} s  "
-                  f"(all: {out['decode_s_all']})", flush=True)
-    print("\nmedians:")
-    for name, ss in results.items():
-        if ss:
-            print(f"  {name:6s} {sorted(ss)[len(ss) // 2]:6.3f} s")
+    from sweep_lib import print_medians, run_sweep
+    results = run_sweep(
+        __file__, VARIANTS,
+        lambda sweep, name, out: (
+            f"[{sweep}] {name:6s} {out['decode_s']:6.3f} s  "
+            f"(all: {out['decode_s_all']})"))
+    print_medians(results, "decode_s", "s")
 
 
 if __name__ == "__main__":

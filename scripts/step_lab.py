@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -112,49 +111,20 @@ def child() -> None:
 
 
 def parent() -> None:
-    # The remote compile helper is serial AND fragile: killing a client
-    # mid-compile leaves its request grinding and wedges every subsequent
-    # compile for ~30-60 min.  So: strictly serial children, a VERY
-    # generous per-child budget, and the second sweep only re-measures
-    # variants that already succeeded (their executables are cached).
+    # Sweep discipline + wedged-compile policy live in sweep_lib.run_sweep.
     # --variants a,b,c restricts the sweep (e.g. "base,mixed").
+    from sweep_lib import print_medians, run_sweep
     chosen = dict(VARIANTS)
     if "--variants" in sys.argv:
         names = sys.argv[sys.argv.index("--variants") + 1].split(",")
         chosen = {n: VARIANTS[n] for n in names}
-    results: dict = {k: [] for k in chosen}
-    losses: dict = {}
-    for sweep in range(2):
-        for name, flags in chosen.items():
-            if sweep > 0 and not results[name]:
-                continue
-            env = dict(os.environ)
-            env.update(flags)
-            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-            try:
-                p = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--child"],
-                    env=env, capture_output=True, text=True, timeout=3300)
-            except subprocess.TimeoutExpired:
-                # e.g. a compile-pathological variant: record and move on
-                print(f"[{sweep}] {name}: TIMEOUT (>3300 s — likely stuck "
-                      f"in compile); skipping", flush=True)
-                continue
-            if p.returncode != 0:
-                print(f"[{sweep}] {name}: FAILED\n{p.stderr[-2000:]}",
-                      flush=True)
-                continue
-            out = json.loads(p.stdout.strip().splitlines()[-1])
-            results[name].append(out["step_ms"])
-            losses[name] = out["loss0"]
-            print(f"[{sweep}] {name:7s} {out['step_ms']:7.1f} ms "
-                  f"{out['toks_per_sec']:9.0f} tok/s  loss0={out['loss0']}",
-                  flush=True)
-    print("\nmedians:")
-    for name, ms in results.items():
-        if ms:
-            print(f"  {name:7s} {sorted(ms)[len(ms) // 2]:7.1f} ms  "
-                  f"loss0={losses.get(name)}")
+    results = run_sweep(
+        __file__, chosen,
+        lambda sweep, name, out: (
+            f"[{sweep}] {name:7s} {out['step_ms']:7.1f} ms "
+            f"{out['toks_per_sec']:9.0f} tok/s  loss0={out['loss0']}"))
+    print_medians(results, "step_ms", "ms",
+                  extra=lambda outs: f"loss0={outs[-1]['loss0']}")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,25 @@ def test_forward_matches_replica():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_near_constant_large_rows_stay_finite():
+    # f32 cancellation makes E[y^2]-mean^2 negative for large near-constant
+    # rows; without the max(0, var) clamp (flax convention, round-3 review
+    # finding) rsqrt returns NaN.
+    rng = np.random.default_rng(66)
+    res = (1e5 + rng.normal(0, 0.1, (B, S, D))).astype(np.float32)
+    # self-check: these rows really do drive the unclamped f32 variance
+    # below -eps (the bug being pinned), at least for some rows
+    y = jnp.asarray(res)
+    mean = y.mean(-1, keepdims=True)
+    raw_var = (y * y).mean(-1, keepdims=True) - mean * mean
+    assert float(raw_var.min()) < -EPS, "inputs no longer trigger the bug"
+    h = jnp.zeros((B, S, D), jnp.float32)
+    gamma = jnp.ones((D,), jnp.float32)
+    beta = jnp.zeros((D,), jnp.float32)
+    out = dropout_add_ln(h, jnp.asarray(res), gamma, beta, jnp.uint32(3), 0.0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_rate_zero_is_plain_add_ln():
     h, res, gamma, beta, seed = _setup()
     out = dropout_add_ln(h, res, gamma, beta, seed, 0.0)

@@ -132,12 +132,48 @@ def test_model_registry_selection(tmp_path, monkeypatch, rng):
     assert j["models"] == ["base", "finetuned"]
 
 
+def test_generate_outputs_namespaced_per_model(tmp_path, monkeypatch, rng):
+    """Two models generating from the SAME upload must write distinct
+    output files — the round-3 review caught gen_<file> collisions where
+    the second model silently overwrote the first's MIDI/WAV."""
+    monkeypatch.chdir(tmp_path)
+
+    def fake_generate(midi_in, midi_out, seed=0):
+        with open(midi_out, "wb") as f:
+            f.write(midi_out.encode())  # distinguishable payload
+        return True
+
+    app = create_app(ckpts={"base": "ck_a", "finetuned": "ck_b"},
+                     generate_fn=fake_generate)
+    data = midi_bytes(make_song(rng, n_notes=30))
+    body, ctype = multipart("file", "song.mid", data)
+    _, _, out = wsgi_call(app, "POST", "/api/upload", body, ctype)
+    name = json.loads(out)["file"]
+
+    outs = {}
+    for model in ("base", "finetuned"):
+        status, _, out = wsgi_call(app, "GET", f"/api/generate/{model}/{name}")
+        assert status == "200 OK"
+        outs[model] = json.loads(out)["file"]
+    assert outs["base"] != outs["finetuned"]
+    for model, fname in outs.items():
+        assert model in fname
+        status, _, body2 = wsgi_call(app, "GET", f"/api/outputs/{fname}")
+        assert status == "200 OK"
+
+
 def test_parse_ckpt_registry():
     from pianobart_tpu.serve.app import parse_ckpt_registry
     assert parse_ckpt_registry(None) == {"pianobart": None}
     assert parse_ckpt_registry(["a/b"]) == {"pianobart": "a/b"}
     assert parse_ckpt_registry(["x=p1", "y=p2", "bare"]) == {
         "x": "p1", "y": "p2", "pianobart": "bare"}
+    # '=' inside a path component is NOT a registration: hyperparameter-
+    # named run dirs (lr=1e-3) must stay bare paths
+    assert parse_ckpt_registry(["result/pretrain/lr=1e-3/best"]) == {
+        "pianobart": "result/pretrain/lr=1e-3/best"}
+    assert parse_ckpt_registry(["=weird/path"]) == {
+        "pianobart": "=weird/path"}
     with pytest.raises(SystemExit, match="duplicate"):
         parse_ckpt_registry(["x=p1", "x=p2"])
 
