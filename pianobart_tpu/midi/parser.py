@@ -51,6 +51,10 @@ def read_midi_bytes(data: bytes) -> MidiFile:
         if idx < 0:
             raise ValueError("not a standard MIDI file (no MThd)")
         buf = memoryview(data)[idx:]
+    if len(buf) < 14:
+        # matches the native codec: a header chunk is 14 bytes; don't
+        # parse garbage division/track counts out of a shorter prefix
+        raise ValueError("not a standard MIDI file (no MThd)")
     header_len = int.from_bytes(buf[4:8], "big")
     fmt = int.from_bytes(buf[8:10], "big")
     ntracks = int.from_bytes(buf[10:12], "big")
@@ -127,68 +131,79 @@ def _parse_track(
             instruments[key].notes.append(
                 Note(velocity=velocity, pitch=pitch, start=start_tick, end=end_tick))
 
-    while p < n:
-        delta, p = _read_varint(track, p)
-        tick += delta
-        if p >= n:
-            break
-        status = track[p]
-        if status & 0x80:
-            p += 1
-            if status < 0xF0:
-                running_status = status
-        else:
-            status = running_status
-            if status == 0:
-                raise ValueError("running status without prior status byte")
-
-        kind = status & 0xF0
-        channel = status & 0x0F
-        if kind == 0x90:  # note on
-            pitch, velocity = track[p], track[p + 1]
-            p += 2
-            if velocity == 0:
-                close_note(channel, pitch, tick)
-            else:
-                key = get_instrument(channel)
-                open_notes.setdefault((channel, pitch), []).append(
-                    (tick, velocity, key))
-        elif kind == 0x80:  # note off
-            pitch = track[p]
-            p += 2
-            close_note(channel, pitch, tick)
-        elif kind in (0xA0, 0xB0, 0xE0):  # aftertouch / CC / pitch bend
-            p += 2
-        elif kind == 0xC0:  # program change
-            channel_program[channel] = track[p]
-            p += 1
-        elif kind == 0xD0:  # channel aftertouch
-            p += 1
-        elif status in (0xF0, 0xF7):  # sysex
-            length, p = _read_varint(track, p)
-            p += length
-        elif status == 0xFF:  # meta
-            meta_type = track[p]
-            p += 1
-            length, p = _read_varint(track, p)
-            body = bytes(track[p:p + length])
-            p += length
-            if meta_type == 0x51 and length >= 3:  # set tempo
-                usq = int.from_bytes(body[:3], "big")
-                if usq > 0:
-                    tempos.append(TempoChange(tempo=60_000_000 / usq, time=tick))
-            elif meta_type == 0x58 and length >= 2:  # time signature
-                timesigs.append(TimeSignature(
-                    numerator=body[0], denominator=2 ** body[1], time=tick))
-            elif meta_type == 0x03:  # track name
-                track_name = body.decode("latin-1", errors="replace").strip("\x00")
-                for key in local_keys:
-                    if not instruments[key].name:
-                        instruments[key].name = track_name
-            elif meta_type == 0x2F:  # end of track
+    # Truncated mid-event bodies raise IndexError; treat that like the
+    # C++ codec's bounds-checked break so the dangling-note flush below
+    # still runs and the two paths stay note-for-note identical on
+    # truncated input (fuzz parity test).
+    try:
+        while p < n:
+            delta, p = _read_varint(track, p)
+            tick += delta
+            if p >= n:
                 break
-        else:
-            raise ValueError(f"unhandled MIDI status byte 0x{status:02x}")
+            status = track[p]
+            if status & 0x80:
+                p += 1
+                if status < 0xF0:
+                    running_status = status
+            else:
+                status = running_status
+                if status == 0:
+                    break  # data byte with no status: stop, keep what we have
+
+            kind = status & 0xF0
+            channel = status & 0x0F
+            if kind == 0x90:  # note on
+                pitch, velocity = track[p], track[p + 1]
+                p += 2
+                if velocity == 0:
+                    close_note(channel, pitch, tick)
+                else:
+                    key = get_instrument(channel)
+                    open_notes.setdefault((channel, pitch), []).append(
+                        (tick, velocity, key))
+            elif kind == 0x80:  # note off
+                pitch = track[p]
+                p += 2
+                close_note(channel, pitch, tick)
+            elif kind in (0xA0, 0xB0, 0xE0):  # aftertouch / CC / pitch bend
+                p += 2
+            elif kind == 0xC0:  # program change
+                channel_program[channel] = track[p]
+                p += 1
+            elif kind == 0xD0:  # channel aftertouch
+                p += 1
+            elif status in (0xF0, 0xF7):  # sysex
+                length, p = _read_varint(track, p)
+                p += length
+            elif status == 0xFF:  # meta
+                meta_type = track[p]
+                p += 1
+                length, p = _read_varint(track, p)
+                body = bytes(track[p:p + length])
+                p += length
+                if meta_type == 0x51 and length >= 3:  # set tempo
+                    usq = int.from_bytes(body[:3], "big")
+                    if usq > 0:
+                        tempos.append(TempoChange(tempo=60_000_000 / usq, time=tick))
+                elif meta_type == 0x58 and length >= 2:  # time signature
+                    timesigs.append(TimeSignature(
+                        numerator=body[0], denominator=2 ** body[1], time=tick))
+                elif meta_type == 0x03:  # track name
+                    track_name = body.decode("latin-1", errors="replace").strip("\x00")
+                    for key in local_keys:
+                        if not instruments[key].name:
+                            instruments[key].name = track_name
+                elif meta_type == 0x2F:  # end of track
+                    break
+            else:
+                # unknown status (e.g. stray system-realtime 0xF8-0xFE):
+                # stop this track, keep what we have — same tolerant-stop
+                # policy as the native codec
+                break
+
+    except IndexError:
+        pass
 
     # Close any dangling notes at the final tick (defensive; matches the
     # tolerant behavior of common parsers).
