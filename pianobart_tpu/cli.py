@@ -149,7 +149,10 @@ def cmd_pretrain(args) -> int:
                                    seed=args.seed)
     print(f"train {X_train.shape} valid {X_val.shape}")
     state, mesh = _init_state(model, cfg, args, args.lr)
-    state = _load_init_ckpt(state, args, cfg, kind="trunk")
+    # kind=None auto-detects (trunk vs full LM/classifier state dicts);
+    # forcing "trunk" made full-model torch checkpoints KeyError
+    # instead of grafting their matching subtrees (round-3 review)
+    state = _load_init_ckpt(state, args, cfg)
     save_dir = os.path.join("result", "pretrain", args.name)
 
     if args.batch_size % mesh.shape["dp"] != 0:
@@ -205,7 +208,7 @@ def cmd_finetune(args) -> int:
     from .models import SequenceClassification, TokenClassification
     from .train.finetune import finetune_seq_step, finetune_token_step
     from .train.runner import SupervisedRunner
-    from .parallel.mesh import LOGICAL_RULES
+    from .parallel.mesh import LOGICAL_RULES, put_batch_fn
     from .data import load_finetune
 
     class_num = args.class_num or {"melody": 4, "velocity": 7,
@@ -237,7 +240,10 @@ def cmd_finetune(args) -> int:
             f"label id {y_max} out of range for --class_num {class_num} "
             f"({n_classes} classes); pass --class_num {y_max + (1 if seq else 0)}")
     state, mesh = _init_state(model, cfg, args, args.lr)
-    state = _load_init_ckpt(state, args, cfg, kind="trunk")
+    # kind=None auto-detects (trunk vs full LM/classifier state dicts);
+    # forcing "trunk" made full-model torch checkpoints KeyError
+    # instead of grafting their matching subtrees (round-3 review)
+    state = _load_init_ckpt(state, args, cfg)
     save_dir = os.path.join("result", "finetune", f"{args.task}_{args.name}")
 
     if seq:
@@ -252,7 +258,7 @@ def cmd_finetune(args) -> int:
 
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
                               batch_size=args.batch_size, patience=3,
-                              seed=args.seed)
+                              seed=args.seed, put_batch=put_batch_fn(mesh))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -263,7 +269,7 @@ def cmd_finetune_generation(args) -> int:
     from .models import PianoBartLM
     from .train.generation import generation_step
     from .train.runner import SupervisedRunner
-    from .parallel.mesh import LOGICAL_RULES
+    from .parallel.mesh import LOGICAL_RULES, put_batch_fn
     from .data import load_finetune
     from .utils.fad import generation_fad
 
@@ -290,7 +296,8 @@ def cmd_finetune_generation(args) -> int:
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
                               batch_size=args.batch_size, patience=30,
                               seed=args.seed, select="weighted_field_acc",
-                              eval_hook=eval_hook)
+                              eval_hook=eval_hook,
+                              put_batch=put_batch_fn(mesh))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -301,7 +308,7 @@ def cmd_ablation(args) -> int:
     from .models import PianoBartLM
     from .train.generation import ablation_step
     from .train.runner import SupervisedRunner
-    from .parallel.mesh import LOGICAL_RULES
+    from .parallel.mesh import LOGICAL_RULES, put_batch_fn
     import numpy as _np
 
     cfg = _cfg_from_args(args)
@@ -309,10 +316,14 @@ def cmd_ablation(args) -> int:
     # ablation data: full sequences (Ablation.py:279-304)
     root = args.dataroot
     parts = []
+    looked = []
     for split in ("train", "test", "valid"):
         p = os.path.join(root, f"{args.datasets}_{split}.npy")
+        looked.append(p)
         if os.path.exists(p):
             parts.append(np.load(p, allow_pickle=True))
+    if not parts:
+        raise SystemExit(f"no ablation data found; looked for: {looked}")
     arr = np.concatenate(parts, axis=0)
     rng = _np.random.default_rng(args.seed)
     arr = arr[rng.permutation(len(arr))]
@@ -330,7 +341,8 @@ def cmd_ablation(args) -> int:
 
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
                               batch_size=args.batch_size, patience=30,
-                              seed=args.seed, select="weighted_field_acc")
+                              seed=args.seed, select="weighted_field_acc",
+                              put_batch=put_batch_fn(mesh))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -586,7 +598,10 @@ def build_parser() -> argparse.ArgumentParser:
     sm.add_argument("--num_examples", type=int, default=32)
     sm.add_argument("--mask_apply_method", default="average_merging")
     sm.add_argument("--weight_mask_rate", type=float, default=0.8)
-    sm.add_argument("--use_weight_rescale", action="store_true", default=True)
+    # BooleanOptionalAction: store_true+default=True was unconditionally
+    # True — --no-use_weight_rescale now actually reaches mask merging
+    sm.add_argument("--use_weight_rescale",
+                    action=argparse.BooleanOptionalAction, default=True)
     sm.add_argument("--mask_strategy", default="random",
                     choices=["random", "magnitude"])
     sm.add_argument("--scaling_coefficient", type=float, default=1.0)

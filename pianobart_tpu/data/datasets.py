@@ -18,6 +18,53 @@ import numpy as np
 DEFAULT_PRETRAIN_DATASETS = ("asap", "EMOPIA", "Pianist8", "POP1K7", "POP909")
 
 
+class ShardedWindows:
+    """Read-only view over a list of mmap'd ``(n_i, S, 8)`` shards with a
+    fixed global row order.
+
+    Supports exactly what the trainers use — ``len``, ``.shape``, and
+    fancy-indexed batch gathers — while materializing only the requested
+    rows.  (``np.concatenate`` over the shards copied the whole corpus into
+    RAM and the permutation copied it AGAIN, ~2x corpus peak RSS; round-3
+    review.)"""
+
+    def __init__(self, shards: List[np.ndarray], order: np.ndarray):
+        self._shards = shards
+        self._starts = np.cumsum([0] + [len(s) for s in shards])
+        self._order = np.asarray(order)
+
+    def __len__(self) -> int:
+        return len(self._order)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return (len(self._order),) + tuple(self._shards[0].shape[1:])
+
+    @property
+    def dtype(self):
+        return self._shards[0].dtype
+
+    def _get_rows(self, rows: np.ndarray) -> np.ndarray:
+        g = self._order[rows]
+        shard = np.searchsorted(self._starts, g, side="right") - 1
+        out = np.empty((len(g),) + tuple(self._shards[0].shape[1:]),
+                       dtype=self._shards[0].dtype)
+        for i, (s, r) in enumerate(zip(shard, g - self._starts[shard])):
+            out[i] = self._shards[s][r]
+        return out
+
+    def __getitem__(self, key):
+        if isinstance(key, (int, np.integer)):
+            return self._get_rows(np.asarray([key]))[0]
+        if isinstance(key, slice):
+            return self._get_rows(np.arange(len(self))[key])
+        return self._get_rows(np.asarray(key))
+
+    def __array__(self, dtype=None):
+        out = self._get_rows(np.arange(len(self)))
+        return out if dtype is None else out.astype(dtype)
+
+
 def load_pretrain(root: str,
                   datasets: Sequence[str] = DEFAULT_PRETRAIN_DATASETS,
                   valid_fraction: float = 0.15,
@@ -36,12 +83,12 @@ def load_pretrain(root: str,
             parts.append(np.load(path, mmap_mode="r"))
     if not parts:
         raise FileNotFoundError(f"no pretrain shards under {root}")
-    data = np.concatenate([np.asarray(p) for p in parts], axis=0)
+    n = sum(len(p) for p in parts)
     rng = np.random.default_rng(seed)
-    idx = rng.permutation(len(data))
-    data = data[idx]
-    split = int(len(data) * (1.0 - valid_fraction))
-    return data[:split], data[split:]
+    idx = rng.permutation(n)   # same row selection as the eager concat+fancy
+    split = int(n * (1.0 - valid_fraction))
+    return (ShardedWindows(parts, idx[:split]),
+            ShardedWindows(parts, idx[split:]))
 
 
 def load_finetune(root: str, dataset: str, task: str):

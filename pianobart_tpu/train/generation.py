@@ -81,8 +81,11 @@ def generation_step(state: TrainState, x: jax.Array, y: jax.Array,
 
 
 def _ablation_prepare(batch: jax.Array):
-    """Zero second half of encoder input; loss covers the zeroed span
-    (Ablation.py:129-141)."""
+    """Zero second half of encoder input; the loss span reproduces the
+    reference EXACTLY (``Ablation.py:137``:
+    ``loss_mask[i, length//2+1 : length+1] = 1``) — including its
+    1-indexing artifact: position ``length//2`` (zeroed on the encoder) is
+    excluded and position ``length`` (the first PAD row) is included."""
     S = batch.shape[1]
     label = batch
     dec_ids = shift_right(batch, _SOS_ROW)

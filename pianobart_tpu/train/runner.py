@@ -65,6 +65,7 @@ class PretrainRunner:
         self.rng = jax.random.PRNGKey(seed)
         self.best_acc = -1.0
         self.bad_epochs = 0
+        self._cur_epoch = 0  # set by run(); safety saves record it
 
     def train_epoch(self) -> Dict[str, Any]:
         """Batches are grouped K-per-dispatch: one device program per K
@@ -105,8 +106,11 @@ class PretrainRunner:
             dispatches += 1
             if (self.checkpoint_every_dispatches
                     and dispatches % self.checkpoint_every_dispatches == 0):
-                self.ckpt.save(int(self.state.step), self.state,
-                               {"mid_epoch": True}, is_best=False)
+                # dedicated safety slot: saving under the raw optimizer step
+                # in the step_N EPOCH namespace made restore() read it back
+                # as an epoch index (round-3 review), skipping all remaining
+                # epochs on resume and confusing checkpoint GC
+                self.ckpt.save_safety(self.state, self._cur_epoch)
             # pass device arrays: step_echo only materializes when it
             # actually prints, keeping dispatches async
             self.logger.step_echo(n, {"loss": ls[-1], "weighted_acc":
@@ -159,8 +163,12 @@ class PretrainRunner:
         run_t0 = time.time()
         if resume:
             self.state, start_epoch = self.ckpt.restore(self.state)
+            # without this, the first post-resume epoch always looked
+            # "best" and overwrote a better best/ checkpoint
+            self.best_acc = float(self.ckpt.meta().get("best_acc", -1.0))
         n_tok = np.asarray(self.cfg.field_sizes, dtype=np.float64)
         for epoch in range(start_epoch, epochs):
+            self._cur_epoch = epoch
             if self.bad_epochs >= self.patience:
                 self.logger.epoch_line(
                     f"valid acc not improving for {self.patience} epochs")
@@ -199,7 +207,13 @@ class SupervisedRunner:
                  data, save_dir: str, batch_size: int = 8,
                  patience: int = 3, seed: int = 2023,
                  select: str = "scalar_acc",
-                 eval_hook: Optional[Callable] = None):
+                 eval_hook: Optional[Callable] = None,
+                 put_batch: Callable = jnp.asarray):
+        # put_batch shards inputs/labels/weights onto the mesh's dp axis
+        # (parallel.mesh.put_batch_fn) — without it a multi-chip finetune
+        # replicated every batch and computed it redundantly on every chip
+        # (round-3 review)
+        self.put_batch = put_batch
         self.state = state
         self.cfg = cfg
         self.step_fn = step_fn
@@ -238,11 +252,11 @@ class SupervisedRunner:
             weight = None
             if real < self.batch_size:
                 pad = self.batch_size - real
-                weight = jnp.asarray(np.concatenate(
+                weight = self.put_batch(np.concatenate(
                     [np.ones(real, np.float32), np.zeros(pad, np.float32)]))
                 sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
-            bx = jnp.asarray(np.asarray(X[sel]), dtype=jnp.int32)
-            by = jnp.asarray(np.asarray(y[sel]))
+            bx = self.put_batch(np.asarray(X[sel]).astype(np.int32))
+            by = self.put_batch(np.asarray(y[sel]))
             self.state, m = self.step_fn(self.state, bx, by, self.rng,
                                          train=train, weight=weight)
             losses.append(m["loss"])
@@ -287,6 +301,7 @@ class SupervisedRunner:
         start = 0
         if resume:
             self.state, start = self.ckpt.restore(self.state)
+            self.best = float(self.ckpt.meta().get("best_acc", -1.0))
         for epoch in range(start, epochs):
             tr = self._epoch(self.X_train, self.y_train, train=True)
             va = self._epoch(self.X_val, self.y_val, train=False)
@@ -299,6 +314,9 @@ class SupervisedRunner:
                 # (finetune.py:148-150); persist it per epoch
                 np.save(f"{self.save_dir}/test_outputs.npy", test_outputs)
             score = self._selection_score(va)
+            # >= mirrors the reference exactly (main.py:191,399 use >=,
+            # its pretrain loop uses strict >): a tied score refreshes the
+            # best checkpoint and resets patience there too
             is_best = score >= self.best
             self.best = max(score, self.best)
             self.bad = 0 if is_best else self.bad + 1

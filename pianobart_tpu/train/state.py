@@ -77,7 +77,12 @@ class CheckpointManager:
     Layout under ``directory``:
       ``step_N/``      — full state (params + optimizer + epoch metadata)
       ``best/``        — copy of the best step (weighted-acc selection)
-      ``meta.json``    — {last_step, best_step, best_acc, history}
+      ``safety/``      — rotating mid-epoch crash-safety save (one slot,
+                         outside the ``step_N`` epoch namespace — a raw
+                         optimizer step saved as ``step_N`` used to be
+                         read back as an epoch index on resume, skipping
+                         all remaining training)
+      ``meta.json``    — {last_step, best_step, best_acc, history, safety?}
     """
 
     def __init__(self, directory: str, max_to_keep: int = 3):
@@ -104,6 +109,10 @@ class CheckpointManager:
         with open(self._meta_path, "w") as f:
             json.dump(meta, f, indent=1)
 
+    def meta(self) -> Dict[str, Any]:
+        """Public read of meta.json (resume restores best_acc from here)."""
+        return self._read_meta()
+
     # -- save/load ---------------------------------------------------------
     def save(self, step: int, state: TrainState, metrics: Dict[str, Any],
              is_best: bool) -> None:
@@ -118,6 +127,10 @@ class CheckpointManager:
         meta["last_step"] = step
         meta["history"].append({"step": step, **{k: _jsonable(v)
                                                  for k, v in metrics.items()}})
+        # an epoch-end save supersedes any mid-epoch safety slot
+        if meta.pop("safety", None) is not None:
+            shutil.rmtree(os.path.join(self.directory, "safety"),
+                          ignore_errors=True)
         if is_best:
             best = os.path.join(self.directory, "best")
             if os.path.exists(best):
@@ -144,10 +157,38 @@ class CheckpointManager:
                 shutil.rmtree(os.path.join(self.directory, f"step_{s}"),
                               ignore_errors=True)
 
+    def save_safety(self, state: TrainState, epoch: int) -> None:
+        """Mid-epoch crash-safety save into the single rotating ``safety``
+        slot.  ``epoch`` is the 0-based epoch in progress: resume restarts
+        that epoch with these params/optimizer."""
+        path = os.path.join(self.directory, "safety")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self.ckptr.save(path, {"params": state.params,
+                               "opt_state": state.opt_state,
+                               "step": np.asarray(state.step)})
+        self.ckptr.wait_until_finished()
+        meta = self._read_meta()
+        meta["safety"] = {"epoch": epoch, "opt_step": int(state.step)}
+        self._write_meta(meta)
+
     def restore(self, state: TrainState, step: Optional[int] = None,
                 best: bool = False) -> tuple[TrainState, int]:
-        """Resume params AND optimizer state (the reference never did)."""
+        """Resume params AND optimizer state (the reference never did).
+
+        Returns ``(state, start_epoch)``.  A pending mid-epoch safety save
+        (newer than the last epoch-end save by construction — epoch-end
+        saves clear it) wins: the interrupted epoch restarts from it."""
         meta = self._read_meta()
+        if not best and step is None and meta.get("safety") is not None:
+            path = os.path.join(self.directory, "safety")
+            target = {"params": state.params, "opt_state": state.opt_state,
+                      "step": np.asarray(state.step)}
+            restored = self.ckptr.restore(path, target=target)
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  step=int(restored["step"]))
+            return state, int(meta["safety"]["epoch"])
         if best:
             path = os.path.join(self.directory, "best")
             step = meta.get("best_step") or 0
@@ -178,8 +219,17 @@ class CheckpointManager:
             path = self.directory  # payload dir passed directly
         else:
             meta = self._read_meta()
-            name = "best" if best and meta.get("best_step") is not None \
-                else f"step_{meta.get('last_step')}"
+            if best and meta.get("best_step") is not None:
+                name = "best"
+            elif meta.get("last_step") is not None:
+                name = f"step_{meta['last_step']}"
+            else:
+                # a typo'd/empty directory used to fall through to
+                # 'step_None' and die deep inside orbax
+                raise FileNotFoundError(
+                    f"no checkpoint found under {self.directory} — expected "
+                    f"a manager root (meta.json + step_N/best subdirs) or a "
+                    f"checkpoint payload dir (_CHECKPOINT_METADATA)")
             path = os.path.join(self.directory, name)
         restored = self.ckptr.restore(path)["params"]
 

@@ -185,3 +185,101 @@ def test_pretrain_runner_warns_on_zero_steps(rng, tmp_path, capsys):
     out = runner.train_epoch()
     assert out["steps"] == 0
     assert "0 train steps" in capsys.readouterr().err
+
+
+def _tiny_state():
+    from flax import linen as nn
+    from pianobart_tpu.models import PianoBartLM, tiny_config
+    from pianobart_tpu.train.state import TrainState, make_optimizer
+    cfg = tiny_config()
+    model = PianoBartLM(cfg)
+    S = cfg.max_len
+    ids = jnp.zeros((1, S, 8), jnp.int32)
+    m = jnp.ones((1, S))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), ids, ids, m, m))
+    return cfg, TrainState.create(apply_fn=model.apply,
+                                  params=params["params"],
+                                  tx=make_optimizer())
+
+
+def test_safety_checkpoint_separate_namespace(tmp_path):
+    """Mid-epoch safety saves live outside the step_N epoch namespace: a
+    round-3 review found them saved under the raw optimizer step, which
+    restore() then read back as an epoch index (resume skipped all
+    remaining epochs) and which crowded real epoch saves out of GC."""
+    from pianobart_tpu.train.state import CheckpointManager
+    cfg, state = _tiny_state()
+    ckpt = CheckpointManager(str(tmp_path))
+
+    # epoch 0 and 1 complete; a safety save fires mid-epoch-2 with a large
+    # optimizer step
+    ckpt.save(1, state, {"weighted_acc": 0.1}, is_best=True)
+    ckpt.save(2, state, {"weighted_acc": 0.2}, is_best=True)
+    state2 = state.replace(step=600)
+    ckpt.save_safety(state2, epoch=2)
+    assert not os.path.exists(tmp_path / "step_600")
+    assert os.path.exists(tmp_path / "safety")
+
+    # resume: the pending safety slot wins and restarts epoch 2
+    restored, start = ckpt.restore(state)
+    assert start == 2
+    assert int(restored.step) == 600
+
+    # epoch 2 completes -> the epoch save supersedes the safety slot
+    ckpt.save(3, state2.replace(step=601), {"weighted_acc": 0.3},
+              is_best=True)
+    assert not os.path.exists(tmp_path / "safety")
+    _, start = ckpt.restore(state)
+    assert start == 3
+
+
+def test_resume_restores_best_acc(tmp_path):
+    """The first post-resume epoch must not clobber a better best/ copy:
+    round-3 review found best_acc reset to -1.0 on resume in both
+    runners."""
+    from pianobart_tpu.train.runner import PretrainRunner, SupervisedRunner
+    from pianobart_tpu.train.state import CheckpointManager
+    cfg, state = _tiny_state()
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(1, state, {"weighted_acc": 0.9}, is_best=True)
+
+    S = cfg.max_len
+    data = np.zeros((2, S, 8), dtype=np.int32)
+    runner = PretrainRunner(state, cfg, data, data, str(tmp_path),
+                            batch_size=2)
+    runner.run(epochs=1, resume=True)   # start==1: no epochs execute
+    assert runner.best_acc == pytest.approx(0.9)
+
+    sup = SupervisedRunner(state, cfg, lambda *a, **k: None,
+                           (data, data, data, None, None, None),
+                           str(tmp_path), batch_size=2)
+    sup.run(epochs=1, resume=True)
+    assert sup.best == pytest.approx(0.9)
+
+
+def test_supervised_runner_shards_batches_on_dp(tmp_path):
+    """SupervisedRunner must place inputs/labels on the mesh's dp axis —
+    a round-3 review found multi-chip finetunes replicating every batch
+    (each chip redundantly computing the full batch)."""
+    from pianobart_tpu.parallel.mesh import make_mesh, put_batch_fn
+    cfg, state = _tiny_state()
+    mesh = make_mesh(dp=2, tp=1, sp=1)
+    S = cfg.max_len
+    X = np.zeros((4, S, 8), dtype=np.int32)
+    y = np.zeros((4,), dtype=np.int32)
+    seen = []
+
+    def step_fn(state, bx, by, rng, train=True, weight=None):
+        seen.append((bx.sharding.spec, by.sharding.spec))
+        return state, {"loss": jnp.float32(0.0), "acc_num": jnp.float32(1.0),
+                       "acc_den": jnp.float32(1.0)}
+
+    runner = SupervisedRunner(state, cfg, step_fn,
+                              (X, X, X, y, y, y), str(tmp_path),
+                              batch_size=2, put_batch=put_batch_fn(mesh))
+    with mesh:
+        runner.run(epochs=1, run_test_each_epoch=False)
+    assert seen, "no steps ran"
+    for spec_x, spec_y in seen:
+        assert spec_x[0] == "dp", spec_x
+        assert spec_y[0] == "dp", spec_y
