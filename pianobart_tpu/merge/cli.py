@@ -71,7 +71,11 @@ def _lm_grad_fn(cfg, trunk_params):
             dec = shift_right(batch, jnp.asarray(V.SOS, jnp.int32))
             mask = (batch[..., 0] != V.PAD[0]).astype(jnp.float32)
             fused = model.apply({"params": pp}, batch, dec, mask, mask, True)
-            lm = jnp.ones(batch.shape, jnp.float32)
+            # loss over REAL rows only: counting PAD targets inflated the
+            # Fisher weights toward pad-prediction directions (round-3
+            # review; the real objectives all mask PAD)
+            lm = jnp.broadcast_to(mask[..., None], batch.shape
+                                  ).astype(jnp.float32)
             return masked_field_ce(fused, batch, lm, cfg)[0]
         return jax.grad(loss)(full)["pianobart"]
 
@@ -115,6 +119,16 @@ def run_merge(args) -> str:
     if pretrained is not None:
         pre_trunk = (pretrained["pianobart"] if "pianobart" in pretrained
                      else pretrained)
+    needs_pre = args.method in ("task_arithmetic", "ties_merging") or (
+        args.method == "mask_merging"
+        and args.mask_apply_method in ("task_arithmetic", "ties_merging"))
+    if needs_pre and pre_trunk is None:
+        # merging against a None tree used to tree-map to None and write a
+        # junk output while printing success (round-3 review)
+        raise SystemExit(
+            f"--method {args.method} subtracts a base model: pass "
+            f"--pretrained <checkpoint> (the reference's "
+            f"pretrained_model_name, model_merge.py)")
 
     if args.method == "mask_merging":
         masked = [methods.mask_model_weights(

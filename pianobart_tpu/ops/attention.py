@@ -103,7 +103,11 @@ def dot_product_attention(
     use_flash: bool = True,
 ) -> jax.Array:
     """Scaled dot-product attention over ``(B, S, H, Dh)`` tensors."""
-    if (use_flash and dropout_rate == 0.0 and _flash_eligible(q, k, bias)):
+    # deterministic (eval) passes never apply dropout, so attention_dropout
+    # > 0 must not knock eval off the flash path onto the O(S^2)-in-HBM
+    # XLA fallback (round-3 review)
+    if (use_flash and (dropout_rate == 0.0 or deterministic)
+            and _flash_eligible(q, k, bias)):
         try:
             return _flash(q, k, v, kv_mask, causal)
         except NotImplementedError:

@@ -35,8 +35,11 @@ class Dropout(nn.Module):
         if self.rate == 1.0:
             return jnp.zeros_like(x)
         rng = self.make_rng("dropout")
-        # P(bits < thresh) = thresh / 2^8 = actual drop probability
-        t = int(round(self.rate * 256.0))
+        # P(bits < thresh) = thresh / 2^8 = actual drop probability.
+        # Clamp to 255: rates in [0.998, 1.0) would round t to 256, which
+        # overflows uint8 and zero-divides the keep scale (round-3 review);
+        # 255/256 is the closest representable drop probability.
+        t = min(int(round(self.rate * 256.0)), 255)
         bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
         scale = jnp.asarray(256.0 / (256.0 - t), x.dtype)
         return jnp.where(bits >= jnp.uint8(t), x * scale, jnp.zeros_like(x))

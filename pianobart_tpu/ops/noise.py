@@ -72,6 +72,9 @@ def bar_deletion(key: jax.Array, x: jax.Array, p: float) -> Corruption:
     """
     S = x.shape[0]
     bars = x[:, 0]
+    # last row's bar id == the reference's `barMax = masked[-1, 0]`
+    # (pretrain.py:246) — valid because pretrain windows are PACKED (no
+    # pad tail); corruption only ever runs on the packed pretrain layout
     bar_max = bars[-1]
     u = jax.random.uniform(key, (V.FIELD_SIZES[0],))
     # select int(bar_max * p) bars uniformly among 0..bar_max-1
@@ -262,9 +265,13 @@ def bar_infilling(key: jax.Array, x: jax.Array, p: float,
     num_mask = round(S * p)
     counts = jnp.zeros(NB, dtype=jnp.int32).at[bars].add(1)
     rows = jnp.arange(S)
-    first_of_bar = jnp.zeros(NB, dtype=jnp.int32).at[jnp.flip(bars)].set(
-        jnp.flip(rows))
-    last_of_bar = jnp.zeros(NB, dtype=jnp.int32).at[bars].set(rows)
+    # .at[].min/.at[].max are order-independent under duplicate indices;
+    # the previous .at[].set scatters relied on last-write-wins, which JAX
+    # documents as UNDEFINED for repeated indices (round-3 review)
+    first_of_bar = jnp.where(
+        counts > 0,
+        jnp.full(NB, S, dtype=jnp.int32).at[bars].min(rows), 0)
+    last_of_bar = jnp.zeros(NB, dtype=jnp.int32).at[bars].max(rows)
     cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
 
     def attempt(k):

@@ -66,7 +66,13 @@ def _parse_multipart_file(environ, field: str) -> Tuple[str, bytes]:
         filename = htext.split("filename=", 1)[1].split("\r\n")[0].strip().strip('"')
         if not filename:
             continue
-        return filename, payload.rstrip(b"\r\n").removesuffix(b"--")
+        # exactly ONE trailing CRLF belongs to the boundary delimiter; the
+        # closing '--' lands in the NEXT split element.  rstrip()+
+        # removesuffix('--') ate legitimate trailing 0x0d/0x0a/'--' bytes
+        # of binary uploads (round-3 review)
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
+        return filename, payload
     raise ValueError("no file")
 
 
@@ -193,6 +199,9 @@ class GenerationService:
 
     def _decode_batch(self, intros, seeds):
         """(B, S, 8) intros -> (B, S, 8) continuations (one device dispatch)."""
+        # public submit() reaches here without generate() having loaded the
+        # model — lazy-load before touching self.params (round-3 review)
+        self._ensure()
         import jax
         import numpy as np
         from ..decode import generate as gen

@@ -83,8 +83,6 @@ def _frechet(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         ca[:, 0, j] = np.maximum(ca[:, 0, j - 1], d[:, 0, j])
     for i in range(1, n):
         ca[:, i, 0] = np.maximum(ca[:, i - 1, 0], d[:, i, 0])
-        m = np.minimum(np.minimum(ca[:, i - 1, :-1], ca[:, i - 1, 1:]),
-                       ca[:, i, :-1])
         # row-sequential within the batch (the column recurrence depends on
         # ca[i, j-1]); keep the inner loop but vectorize over B.
         for j in range(1, n):
@@ -191,8 +189,11 @@ def generation_fad(y: np.ndarray, outputs: np.ndarray,
                 w2.append(y2[i * gap:(i + 1) * gap - 1])
                 owner.append(j)
         if w1:
-            sims = np.asarray(shape_similarity_batch_jax(
-                np.stack(w1), np.stack(w2)))
+            # round like the host path (the shapesimilarity package rounds
+            # to 4 decimals) so the two paths report comparable numbers;
+            # residual difference is f32-vs-f64 Fréchet ULPs only
+            sims = np.round(np.asarray(shape_similarity_batch_jax(
+                np.stack(w1), np.stack(w2))), 4)
             per_sample = np.zeros(B)
             np.add.at(per_sample, np.asarray(owner), sims)
             fad = float((per_sample / np.maximum(counts, 1)).sum())

@@ -54,3 +54,34 @@ def test_restore_params_clear_error_on_non_checkpoint_dir(tmp_path):
     mgr = CheckpointManager(str(empty))
     with pytest.raises(FileNotFoundError, match="no checkpoint found"):
         mgr.restore_params({"w": np.zeros(2)})
+
+
+def test_flash_gate_allows_dropout_config_at_eval(monkeypatch):
+    """attention_dropout > 0 must not knock DETERMINISTIC (eval) passes off
+    the flash path onto the O(S^2)-in-HBM XLA fallback (round-3 review)."""
+    from pianobart_tpu.ops import attention as attn_mod
+
+    hit = []
+    monkeypatch.setattr(attn_mod, "_flash_eligible", lambda *a: True)
+    monkeypatch.setattr(attn_mod, "_flash",
+                        lambda q, k, v, m, c: hit.append(1) or v)
+    q = jnp.zeros((1, 8, 4, 16))
+    attn_mod.dot_product_attention(q, q, q, dropout_rate=0.1,
+                                   deterministic=True)
+    assert hit, "eval pass with attention_dropout fell off the flash path"
+    # train passes with active dropout still take the XLA path
+    hit.clear()
+    attn_mod.dot_product_attention(
+        q, q, q, dropout_rate=0.1, deterministic=False,
+        dropout_rng=jax.random.PRNGKey(0))
+    assert not hit
+
+
+def test_dropout_extreme_rate_no_overflow():
+    """Rates in [0.998, 1.0) used to round the uint8 threshold to 256 and
+    zero-divide (round-3 review)."""
+    from pianobart_tpu.ops.dropout import Dropout
+    x = jnp.ones((4, 64))
+    out = Dropout(0.999).apply({}, x, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(0)})
+    assert np.isfinite(np.asarray(out)).all()

@@ -266,3 +266,20 @@ def test_demo_loads_merged_msgpack(tmp_path, rng, monkeypatch):
              ckpt="merged.msgpack", max_seq_len=cfg.max_len,
              hs=cfg.d_model, layers=cfg.encoder_layers,
              ffn_dims=cfg.ffn_dim, heads=cfg.num_heads)
+
+
+def test_multipart_preserves_trailing_bytes():
+    """Binary uploads ending in CR/LF or '--' must survive byte-for-byte:
+    rstrip()+removesuffix('--') used to truncate them (round-3 review)."""
+    import io
+    from pianobart_tpu.serve.app import _parse_multipart_file
+
+    for payload in (b"MThd\x00\x01\n\r\n", b"data--", b"x\r\n\r\n",
+                    b"plain", b"ends-with-lf\n"):
+        body, ctype = multipart("file", "a.mid", payload)
+        environ = {"CONTENT_TYPE": ctype,
+                   "CONTENT_LENGTH": str(len(body)),
+                   "wsgi.input": io.BytesIO(body)}
+        name, data = _parse_multipart_file(environ, "file")
+        assert name == "a.mid"
+        assert data == payload, payload
