@@ -121,6 +121,9 @@ Parsed parse_midi(const uint8_t* data, size_t len) {
     const uint8_t* f = std::search(data, data + len, kHdr, kHdr + 4);
     if (f == data + len) return out;
     base = f - data;
+    // re-check: an embedded MThd near the end left <14 bytes, and the
+    // header reads below would run past the buffer (round-3 review, OOB)
+    if (len - base < 14) return out;
   }
   const uint8_t* p = data + base;
   size_t n = len - base;
@@ -220,11 +223,20 @@ Parsed parse_midi(const uint8_t* data, size_t len) {
                          | p[q + 2];
           if (usq) out.tempos.push_back({tick, 60000000.0 / usq, 0, 0, true});
         } else if (mt == 0x58 && l >= 2) {
-          out.timesigs.push_back({tick, 0.0, p[q], 1 << p[q + 1], false});
+          // exponent >= 31 would be signed-shift UB (and wrap to a bogus
+          // valid denominator); use -1 so ts validation rejects it with
+          // the same "unsupported time signature" the Python path raises
+          int e = p[q + 1];
+          out.timesigs.push_back(
+              {tick, 0.0, p[q], (e < 31) ? (1 << e) : -1, false});
         } else if (mt == 0x03) {
           track_name.assign(reinterpret_cast<const char*>(p + q), l);
           while (!track_name.empty() && track_name.back() == '\0')
             track_name.pop_back();
+          // strip LEADING NULs too, matching the Python parser's
+          // .strip('\0') — melody labels key off the exact name
+          while (!track_name.empty() && track_name.front() == '\0')
+            track_name.erase(track_name.begin());
           for (size_t idx : local_insts)
             if (out.instruments[idx].name.empty())
               out.instruments[idx].name = track_name;
@@ -293,6 +305,8 @@ int encode(const Parsed& midi, int task, std::vector<int32_t>& rows) {
     int64_t lo = time_to_pos(midi.timesigs[i].tick, midi.ticks_per_beat);
     int64_t hi = (i + 1 < midi.timesigs.size())
         ? time_to_pos(midi.timesigs[i + 1].tick, midi.ticks_per_beat) : max_pos;
+    if (midi.timesigs[i].den <= 0 || midi.timesigs[i].num <= 0)
+      return -2;  // out-of-range exponent sentinel; reduce_ts would spin
     TS r = reduce_ts(midi.timesigs[i].num, midi.timesigs[i].den);
     auto it = tst.to_bin.find({r.num, r.den});
     if (it == tst.to_bin.end()) return -2;  // unsupported time signature

@@ -180,6 +180,11 @@ def _parse_track(
                 meta_type = track[p]
                 p += 1
                 length, p = _read_varint(track, p)
+                if p + length > n:
+                    # truncated meta body: the slice below would silently
+                    # clamp and process garbage (e.g. a 2-byte tempo read
+                    # as 3) — stop like the C++ codec's bounds check
+                    break
                 body = bytes(track[p:p + length])
                 p += length
                 if meta_type == 0x51 and length >= 3:  # set tempo

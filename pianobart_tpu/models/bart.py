@@ -238,12 +238,6 @@ class MultiHeadAttention(nn.Module):
         out = _dense(D, cfg, ("qkv", "embed"), "out_proj")(out)
         return out, new_cache
 
-    def init_cache(self, batch: int, length: int) -> KVCache:
-        cfg = self.cfg
-        shape = (batch, length, cfg.num_heads, cfg.head_dim)
-        return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
-
-
 class FeedForward(nn.Module):
     cfg: PianoBartConfig
 

@@ -52,11 +52,17 @@ def list_midi_files(dataset_path: str) -> List[Tuple[str, bytes]]:
     return out
 
 
-def composer_from_path(rel_path: str) -> str:
-    """First meaningful directory component (composer datasets organize
-    one directory per composer)."""
+def composer_from_path(rel_path: str, dataset: str = "") -> str:
+    """Composer label from the path, mirroring the reference's per-dataset
+    rules (convert.py:480-483): asap keys on the FIRST path component
+    (``Bach/Fugue/bwv_846/x.mid`` -> Bach), everything else (Pianist8
+    style) on the file's parent directory, skipping ``midi`` wrappers."""
     parts = [p for p in rel_path.split("/") if p and p != "midi"]
-    return parts[-2] if len(parts) >= 2 else "UNKNOWN"
+    if len(parts) < 2:
+        return "UNKNOWN"
+    if "asap" in dataset.lower():
+        return parts[0]
+    return parts[-2]
 
 
 def emotion_from_path(rel_path: str) -> Optional[int]:
@@ -78,10 +84,15 @@ def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
     ``window`` (k*1024) emits long-context rows for the sequence-parallel
     trainer (``cli pretrain --mesh DPxTPxSP --max_seq_len k*1024``).
     """
-    if pad is None:
-        pad = task not in ("melody", "velocity")
     if task in ("melody", "velocity"):
+        # token-classification layouts are inherently unpadded windows;
+        # an explicit pad=True was previously overridden in silence
+        if pad:
+            raise ValueError(f"task {task!r} does not support pad=True "
+                             f"(unpadded token-classification layout)")
         pad = False
+    elif pad is None:
+        pad = True
 
     name = os.path.splitext(os.path.basename(dataset_path.rstrip("/")))[0]
     out_root = out_root or f"Data/output_{task}"
@@ -101,7 +112,7 @@ def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
     composer_map: Dict[str, int] = {}
     artifacts: Dict[str, str] = {}
     if task == "composer":
-        composers = sorted({composer_from_path(p) for p, _ in files})
+        composers = sorted({composer_from_path(p, name) for p, _ in files})
         composer_map = {c: i for i, c in enumerate(composers)}
         jpath = os.path.join(out_dir, f"{name}_{task}.json")
         with open(jpath, "w") as f:
@@ -115,8 +126,16 @@ def run_dataset_pipeline(dataset_path: str, task: str = "pretrain",
         labels: List = []
         for rel, raw in split_files:
             all_cnt += 1
-            composer = composer_from_path(rel) if task == "composer" else None
+            composer = (composer_from_path(rel, name)
+                        if task == "composer" else None)
             emotion = emotion_from_path(rel) if task == "emotion" else None
+            if task == "emotion" and emotion is None:
+                # file not named Q<quadrant>_…: a None label used to flow
+                # into np.asarray(..., int64) and abort the whole run; skip
+                # per-file like the reference's caught F() error
+                log(f"ERROR(LABEL): {rel}: no Q<quadrant> emotion label "
+                    f"in filename")
+                continue
             res = process_bytes(raw, task=task, pad=pad, composer=composer,
                                 emotion=emotion, dedup_seen=dedup,
                                 file_name=rel, window=window)

@@ -90,8 +90,18 @@ def check_finetune(arr: np.ndarray, ans: Optional[np.ndarray],
 
 
 def roundtrip_sample(arr: np.ndarray, out_path: str, index: int = 0) -> str:
-    """Decode one window back to a .mid file for audition (checkMidi)."""
-    arr = np.asarray(arr).reshape(-1, 8)
+    """Decode window ``index`` back to a .mid file for audition (checkMidi).
+
+    ``index`` selects a window of a (N, S, 8) array; a flat (N*8,) or
+    (S, 8) array is one window (index must be 0).  The parameter used to
+    be accepted and ignored — always auditioning window 0 (round-3
+    review)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3:
+        arr = arr[index]
+    elif index != 0:
+        raise IndexError(f"index={index} on a flat array with one window")
+    arr = arr.reshape(-1, 8)
     rows = []
     for row in arr:
         if row[0] == V.EOS[0]:

@@ -141,7 +141,14 @@ DUR_ENC, DUR_DEC = _build_duration_tables()
 
 
 def duration_to_bin(d: int) -> int:
-    """reference convert.py:104-105 ``d2e``."""
+    """reference convert.py:104-105 ``d2e``.
+
+    Negative d (caller-constructed note with end < start — parsed files
+    can never produce one) clamps to bin 0 like the C++ codec; the
+    reference's ``dur_enc[x]`` would wrap via negative indexing to the
+    LONGEST duration, an evident accident we don't reproduce."""
+    if d < 0:
+        return int(DUR_ENC[0])
     return int(DUR_ENC[d]) if d < len(DUR_ENC) else int(DUR_ENC[-1])
 
 

@@ -130,3 +130,55 @@ def test_native_python_parity_on_corrupted_input():
             assert (a == b).all(), data.hex()[:80]
         compared += 1
     assert compared > len(cases) // 2
+
+
+@pytest.mark.skipif(not _HAVE_NATIVE, reason="native codec not built")
+def test_native_python_parity_on_crafted_divergences():
+    """Four inputs that round-3 review CONFIRMED diverged between the two
+    paths; each must now give the identical outcome."""
+    def both(data):
+        try:
+            nat = midi_bytes_to_octuple(data)
+        except ValueError:
+            nat = "VE"
+        try:
+            py = midi_to_octuple(read_midi_bytes(data))
+        except ValueError:
+            py = "VE"
+        return nat, py
+
+    good = _good_file()
+
+    # 1. embedded MThd too close to the end (C++ read OOB; Python raised)
+    nat, py = both(b"\x00" * 10 + b"MThd")
+    assert nat == "VE" and py == "VE"
+
+    # 2. truncated tempo meta: declared 3 bytes, 2 present (Python used to
+    # process a clamped garbage tempo; C++ dropped the event)
+    def track(body):
+        return (b"MThd" + (6).to_bytes(4, "big") + (1).to_bytes(2, "big")
+                + (1).to_bytes(2, "big") + (480).to_bytes(2, "big")
+                + b"MTrk" + len(body).to_bytes(4, "big") + body)
+    trunc_tempo = track(
+        b"\x00\x90\x3c\x40" b"\x60\x80\x3c\x00" b"\x00\xff\x51\x03\x07\xa1")
+    nat, py = both(trunc_tempo)
+    assert not isinstance(nat, str) and not isinstance(py, str)
+    assert np.array_equal(np.asarray(nat), np.asarray(py))
+
+    # 3. time-signature exponent 32 (C++ shift wrapped to a VALID denom;
+    # Python rejected 2**32)
+    ts32 = track(
+        b"\x00\xff\x58\x04\x02\x20\x18\x08"
+        b"\x00\x90\x3c\x40" b"\x60\x80\x3c\x00")
+    nat, py = both(ts32)
+    assert nat == "VE" and py == "VE"
+
+    # 4. track name with a LEADING NUL must still label MELODY both ways
+    named = track(
+        b"\x00\xff\x03\x07\x00MELODY"
+        b"\x00\x90\x3c\x40" b"\x60\x80\x3c\x00")
+    nat = midi_bytes_to_octuple(named, task="melody")
+    midi = read_midi_bytes(named)
+    py = midi_to_octuple(midi, task="melody")
+    assert np.array_equal(np.asarray(nat), np.asarray(py))
+    assert midi.instruments[0].name == "MELODY"

@@ -90,6 +90,10 @@ def test_generate_pipeline(midi_dir, tmp_path, rng):
 def test_label_helpers():
     assert composer_from_path("Bach/fugue.mid") == "Bach"
     assert composer_from_path("Pianist8/midi/Hancock/a_b.mid") == "Hancock"
+    # asap keys on the FIRST component (convert.py:480-481): deep per-work
+    # folders must not become the label
+    assert composer_from_path("Bach/Fugue/bwv_846/x.mid", "asap") == "Bach"
+    assert composer_from_path("Bach/Fugue/bwv_846/x.mid") == "bwv_846"
     assert emotion_from_path("EMOPIA/Q3_xxx.mid") == 2
     assert emotion_from_path("whatever/song.mid") is None
 
