@@ -99,10 +99,16 @@ def main() -> None:
     PEAK_BF16 = {"TPU v4": 275e12, "TPU v5 lite": 197e12,
                  "TPU v5": 459e12, "TPU v5e": 197e12, "TPU v5p": 459e12,
                  "TPU v6 lite": 918e12, "TPU v6e": 918e12}
+    # exclude gather tables from matmul-param FLOPs: the positional
+    # embeddings (named 'embedding') AND the fused octuple table (named
+    # 'table', models/embedding.py) — its forward is a gather; counting it
+    # inflated MFU ~0.2% (round-3 review)
     n_matmul_params = sum(
         int(np.prod(p.shape)) for path, p in
         jax.tree_util.tree_flatten_with_path(state.params)[0]
-        if p.ndim >= 2 and "embedding" not in str(path[-1]).lower())
+        if p.ndim >= 2
+        and "embedding" not in str(path[-1]).lower()
+        and "table" not in str(path[-1]).lower())
     tokens = B * S
     dense_flops = 6 * tokens * n_matmul_params
     n_attn = cfg.encoder_layers + 2 * cfg.decoder_layers
@@ -153,7 +159,9 @@ def main() -> None:
         out = generate(params, introB, rng=jax.random.PRNGKey(2), cfg=cfg,
                        max_steps=S, force_full=True)
         _ = np.asarray(out).sum()
-        decode_cps = 16 / (time.perf_counter() - t0)
+        # introB is batch[:16] == min(PBX_BENCH_BATCH, 16) rows — divide by
+        # the REAL row count, not a hardcoded 16 (round-3 review)
+        decode_cps = introB.shape[0] / (time.perf_counter() - t0)
     except Exception as exc:
         print(f"batched decode bench failed: {exc}", file=sys.stderr)
 

@@ -76,7 +76,9 @@ def realistic_window(rng, e2w):
     ids[:n_content, 0] = bars
     for f in range(1, 8):
         ids[:n_content, f] = rng.integers(0, sizes[f], n_content)
-    ids[n_content] = [len(e2w[k]) - 2 for k in e2w]   # EOS row
+    # specials append as PAD,MASK,SOS,EOS,CLS,SEP: <EOS> is len-3
+    # (len-2 is <CLS> — verified against Octuple.pkl, round-3 review)
+    ids[n_content] = [len(e2w[k]) - 3 for k in e2w]   # EOS row
     ids[n_content + 1:] = [len(e2w[k]) - 6 for k in e2w]  # PAD rows
     return torch.tensor(ids)
 

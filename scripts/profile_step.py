@@ -9,6 +9,7 @@ import glob
 import gzip
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -30,7 +31,10 @@ def capture():
     from pianobart_tpu.train.pretrain import pretrain_multi_step
     from pianobart_tpu.train.state import TrainState, make_optimizer
 
-    B = 32
+    # honor the bench knob so a profile explains the bench run it's
+    # taken for (round-3 review: hardcoded B silently profiled a
+    # different config)
+    B = int(os.environ.get("PBX_BENCH_BATCH", "32"))
     cfg = PianoBartConfig(dtype=jnp.bfloat16)
     model = PianoBartLM(cfg)
     S = cfg.max_len
@@ -51,6 +55,9 @@ def capture():
     state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, 10)
     _ = float(losses[-1])
 
+    # clear stale traces: report() globs the newest xplane, and a capture
+    # that produced none would silently report yesterday's profile
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
     jax.profiler.start_trace(TRACE_DIR)
     state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, 10)
     _ = float(losses[-1])
