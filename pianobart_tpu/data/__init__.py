@@ -1,2 +1,2 @@
-from .datasets import (DEFAULT_PRETRAIN_DATASETS, concatenate_pretrain,
-                       load_finetune, load_pretrain)
+from .datasets import (DEFAULT_PRETRAIN_DATASETS, ShardedWindows,
+                       concatenate_pretrain, load_finetune, load_pretrain)
