@@ -196,6 +196,8 @@ def cmd_pretrain(args) -> int:
                             mask_percent=args.mask_percent,
                             patience=30, seed=args.seed,
                             put_batch=put_batch_fn(mesh),
+                            checkpoint_every_dispatches=(
+                                args.checkpoint_every_dispatches),
                             train_step_fn=train_step_fn,
                             eval_step_fn=eval_step_fn)
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
@@ -508,6 +510,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default=["asap", "EMOPIA", "Pianist8", "POP1K7", "POP909"])
     sp.add_argument("--dataroot", type=str, default="Data/output_pretrain")
     sp.add_argument("--mask_percent", type=float, default=0.15)
+    sp.add_argument("--checkpoint_every_dispatches", type=int, default=0,
+                    help="mid-epoch crash-safety saves every N dispatches "
+                         "into the rotating safety/ slot (0 = off); "
+                         "--resume restarts the interrupted epoch from it")
     _add_model_flags(sp)
     _add_train_flags(sp)
     sp.set_defaults(fn=cmd_pretrain)
