@@ -155,8 +155,9 @@ class MultiHeadAttention(nn.Module):
                                  name="out_proj")()
 
             def proj(x, W, b):
-                y = (x.astype(dt) @ tp_slice(W, start, DHl, 1, ax).astype(dt)
-                     + tp_slice(b, start, DHl, 0, ax).astype(dt))
+                y = (x.astype(dt)
+                     @ tp_slice(W, start, DHl, 1, ax, D).astype(dt)
+                     + tp_slice(b, start, DHl, 0, ax, D).astype(dt))
                 return y.reshape(y.shape[0], y.shape[1], Hl, Dh)
 
             q = proj(xq_r, Wq, bq) * (Dh ** -0.5)
@@ -166,7 +167,7 @@ class MultiHeadAttention(nn.Module):
                 kv_mask = jnp.ones((B, k.shape[1]), jnp.float32)
             out = ring_attention(q, k, v, kv_mask, self.causal, cfg.ring_axis)
             out = out.reshape(B, Sq, DHl)
-            partial = out @ tp_slice(Wo, start, DHl, 0, ax).astype(dt)
+            partial = out @ tp_slice(Wo, start, DHl, 0, ax, D).astype(dt)
             return psum_out(partial, ax) + bo.astype(dt), None
 
         use_cached_kv = cache is not None and "k" in cache and cache_index is None

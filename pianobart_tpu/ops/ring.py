@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .flash import (_bwd_fused_call, _delta as _flash_delta, _dkv_call,
                     _dq_call, _fused_eligible, _fwd as _flash_fwd)
@@ -85,29 +86,34 @@ def _psum_bwd(axis_name, _, g):
 psum_out.defvjp(_psum_fwd, _psum_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def tp_slice(w, start, size: int, axis: int, axis_name: str):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def tp_slice(w, start, size: int, axis: int, axis_name: str, full_size: int):
     """Slice a REPLICATED parameter for this tp shard's use.
 
     Forward: ``dynamic_slice_in_dim``.  Backward: scatter the slice
     cotangent into zeros and ``psum`` over ``axis_name`` — the parameter
     gradient comes out FULL and replicated on every tp shard, exactly like
     the gradients of parameters used replicated-ly, so the caller's outer
-    (dp, sp) gradient psum needs no tp special-casing.
+    (dp, sp) gradient psum needs no tp special-casing.  ``full_size`` is
+    ``w.shape[axis]`` (static) — the backward rebuilds the full shape from
+    the cotangent instead of lugging a parameter-sized zeros residual from
+    forward to backward (round-3 review).
     """
     return jax.lax.dynamic_slice_in_dim(w, start, size, axis=axis)
 
 
-def _tp_slice_fwd(w, start, size, axis, axis_name):
+def _tp_slice_fwd(w, start, size, axis, axis_name, full_size):
     out = jax.lax.dynamic_slice_in_dim(w, start, size, axis=axis)
-    return out, (jnp.zeros_like(w), start)
+    return out, (jnp.zeros((0,), w.dtype), start)   # dtype proto only
 
 
-def _tp_slice_bwd(size, axis, axis_name, res, g):
-    zeros, start = res
-    full = jax.lax.dynamic_update_slice_in_dim(zeros, g.astype(zeros.dtype),
-                                               start, axis=axis)
-    import numpy as np
+def _tp_slice_bwd(size, axis, axis_name, full_size, res, g):
+    proto, start = res
+    shape = list(g.shape)
+    shape[axis] = full_size
+    full = jax.lax.dynamic_update_slice_in_dim(
+        jnp.zeros(shape, proto.dtype), g.astype(proto.dtype), start,
+        axis=axis)
     return (jax.lax.psum(full, axis_name),
             np.zeros(jnp.shape(start), jax.dtypes.float0))
 

@@ -45,10 +45,7 @@ def _seq_loss(params, apply_fn, x, y, w, cfg, dropout_rng, deterministic,
     return loss, logits
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "reg_weight", "train"),
-                   donate_argnums=(0,))
-def finetune_seq_step(state: TrainState, x: jax.Array, y: jax.Array,
+def _finetune_seq_step(state: TrainState, x: jax.Array, y: jax.Array,
                       rng: jax.Array, cfg: PianoBartConfig,
                       reg_weight: Optional[float] = None,
                       train: bool = True,
@@ -95,10 +92,7 @@ def _token_loss(params, apply_fn, x, y, w, cfg, velocity, dropout_rng,
     return loss, (logits, loss_mask)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "velocity", "reg_weight", "train"),
-                   donate_argnums=(0,))
-def finetune_token_step(state: TrainState, x: jax.Array, y: jax.Array,
+def _finetune_token_step(state: TrainState, x: jax.Array, y: jax.Array,
                         rng: jax.Array, cfg: PianoBartConfig,
                         velocity: bool = False,
                         reg_weight: Optional[float] = None,
@@ -121,3 +115,31 @@ def finetune_token_step(state: TrainState, x: jax.Array, y: jax.Array,
                "acc_num": ((pred == y) * loss_mask).sum(),
                "acc_den": loss_mask.sum(), "pred": pred}
     return state, metrics
+
+# Donation is train-only: an eval call (train=False) must not invalidate
+# the caller's state buffers on TPU — mirroring pretrain_eval_step, which
+# deliberately omits donation (round-3 review; donation is a no-op on CPU,
+# so tests could never catch a donated eval state).
+_seq_train = functools.partial(jax.jit, static_argnames=(
+    "cfg", "reg_weight", "train"), donate_argnums=(0,))(_finetune_seq_step)
+_seq_eval = functools.partial(jax.jit, static_argnames=(
+    "cfg", "reg_weight", "train"))(_finetune_seq_step)
+_token_train = functools.partial(jax.jit, static_argnames=(
+    "cfg", "velocity", "reg_weight", "train"),
+    donate_argnums=(0,))(_finetune_token_step)
+_token_eval = functools.partial(jax.jit, static_argnames=(
+    "cfg", "velocity", "reg_weight", "train"))(_finetune_token_step)
+
+
+def finetune_seq_step(state, x, y, rng, cfg, reg_weight=None, train=True,
+                      weight=None):
+    f = _seq_train if train else _seq_eval
+    return f(state, x, y, rng, cfg=cfg, reg_weight=reg_weight, train=train,
+             weight=weight)
+
+
+def finetune_token_step(state, x, y, rng, cfg, velocity=False,
+                        reg_weight=None, train=True, weight=None):
+    f = _token_train if train else _token_eval
+    return f(state, x, y, rng, cfg=cfg, velocity=velocity,
+             reg_weight=reg_weight, train=train, weight=weight)

@@ -31,7 +31,8 @@ from .. import vocab as V
 from ..models.config import PianoBartConfig
 from ..models.heads import split_fields
 from ..ops.noise import corrupt_batch
-from .objective import shift_right
+from .objective import shift_right, weighted_average_accuracy
+from .pretrain import _fast_dropout_key
 from .state import TrainState
 
 _SOS_ROW = jnp.asarray(V.SOS, dtype=jnp.int32)
@@ -50,6 +51,17 @@ def _local_ce_sums(fused, targets, loss_mask, cfg):
         dens.append(m.sum())
         hits.append(((fields[i].argmax(-1) == targets[..., i]) * m).sum())
     return jnp.stack(nums), jnp.stack(dens), jnp.stack(hits)
+
+
+def _merge_psums(nums, dens, hits, axes):
+    """psum local CE sums over ``axes`` and derive per-field loss/acc (the
+    same merge for the train and eval twins — keep them in one place)."""
+    nums = jax.lax.psum(nums, axes)
+    dens = jax.lax.psum(dens, axes)
+    hits = jax.lax.psum(hits, axes)
+    per_field = jnp.where(dens > 0, nums / jnp.maximum(dens, 1.0), 0.0)
+    accs = jnp.where(dens > 0, hits / jnp.maximum(dens, 1.0), 0.0)
+    return per_field, accs
 
 
 def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
@@ -77,8 +89,11 @@ def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
         # denominators enter under stop_gradient; ONE psum outside the grad
         # reduces the per-shard contributions.
         def local_loss(p):
+            # deterministic=False like the dense step: attention_/
+            # activation_dropout must stay active even when cfg.dropout is
+            # 0 (round-3 review; rate-0 Dropout layers are no-ops anyway)
             fused = model.apply({"params": p}, corrupted, dec_ids,
-                                enc_mask, dec_mask, cfg.dropout == 0.0,
+                                enc_mask, dec_mask, False,
                                 rngs={"dropout": dropout_rng})
             nums, dens, hits = _local_ce_sums(fused, targets, loss_mask, cfg)
             gdens = jax.lax.stop_gradient(
@@ -90,11 +105,7 @@ def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
         (loss_local, (nums, dens, hits)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params)
         loss = jax.lax.psum(loss_local, (dp_axis, sp_axis))
-        nums = jax.lax.psum(nums, (dp_axis, sp_axis))
-        dens = jax.lax.psum(dens, (dp_axis, sp_axis))
-        hits = jax.lax.psum(hits, (dp_axis, sp_axis))
-        per_field = jnp.where(dens > 0, nums / jnp.maximum(dens, 1.0), 0.0)
-        accs = jnp.where(dens > 0, hits / jnp.maximum(dens, 1.0), 0.0)
+        per_field, accs = _merge_psums(nums, dens, hits, (dp_axis, sp_axis))
         grads = jax.lax.psum(grads, (dp_axis, sp_axis))
         return loss, per_field, accs, grads
 
@@ -115,6 +126,10 @@ def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jax.Array, rng: jax.Array):
         rngc, rngd = jax.random.split(jax.random.fold_in(rng, state.step))
+        # reseed dropout onto the fast rbg generator like the dense step
+        # (threefry mask generation measured ~60 ms/step at B=16;
+        # per-shard fold_in below works on rbg keys too)
+        rngd = _fast_dropout_key(rngd)
         corrupted, loss_mask = corrupt_batch(rngc, batch, mask_percent)
         dec_ids = shift_right(batch, _SOS_ROW)
         enc_mask = (corrupted[..., 0] != _BAR_PAD).astype(jnp.float32)
@@ -148,11 +163,7 @@ def make_sp_eval_step(cfg: PianoBartConfig, mesh,
         fused = model.apply({"params": params}, corrupted, dec_ids,
                             enc_mask, dec_mask, True)
         nums, dens, hits = _local_ce_sums(fused, targets, loss_mask, cfg)
-        nums = jax.lax.psum(nums, (dp_axis, sp_axis))
-        dens = jax.lax.psum(dens, (dp_axis, sp_axis))
-        hits = jax.lax.psum(hits, (dp_axis, sp_axis))
-        per_field = jnp.where(dens > 0, nums / jnp.maximum(dens, 1.0), 0.0)
-        accs = jnp.where(dens > 0, hits / jnp.maximum(dens, 1.0), 0.0)
+        per_field, accs = _merge_psums(nums, dens, hits, (dp_axis, sp_axis))
         loss = (per_field * n_tok).sum() / n_tok.sum()
         return loss, per_field, accs
 
@@ -178,6 +189,6 @@ def make_sp_eval_step(cfg: PianoBartConfig, mesh,
             state.params, corrupted, dec_ids, batch, loss_mask,
             enc_mask, dec_mask)
         return {"loss": loss, "field_loss": per_field, "field_acc": accs,
-                "weighted_acc": (accs * n_tok).sum() / n_tok.sum()}
+                "weighted_acc": weighted_average_accuracy(accs, cfg)}
 
     return eval_step

@@ -167,6 +167,40 @@ def test_sp_train_step_applies_dropout(rng):
     assert l1 != pytest.approx(l2, rel=1e-6)
 
 
+def test_sp_train_step_applies_attention_only_dropout(rng):
+    """cfg.dropout == 0 but attention_dropout > 0: the sp step used to
+    derive deterministic from cfg.dropout alone and silently trained
+    without the attention dropout the dense step applies (round-3
+    review)."""
+    from pianobart_tpu.parallel.mesh import make_mesh
+    from pianobart_tpu.train.pretrain_sp import make_sp_pretrain_step
+
+    S, B = 128, 4
+    base = tiny_config(max_len=S, d_model=128, num_heads=1, emb_size=16,
+                       dropout=0.0, attention_dropout=0.5)
+    cfg_sp = base.replace(ring_axis="sp", use_flash_attention=False)
+    batch = jnp.asarray(make_ids(rng, B, S), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    dense_model = PianoBartLM(base)
+    ids = jnp.zeros((2, S, 8), jnp.int32)
+    m = jnp.ones((2, S))
+    params = nn.meta.unbox(dense_model.init(key, ids, ids, m, m))["params"]
+    mesh = make_mesh(dp=2, tp=1, sp=2, devices=jax.devices()[:4])
+    step = make_sp_pretrain_step(cfg_sp, mesh, 0.15)
+
+    def run(seed):
+        state = TrainState.create(apply_fn=None,
+                                  params=jax.tree.map(jnp.copy, params),
+                                  tx=make_optimizer(1e-3))
+        _, metrics = step(state, batch, jax.random.PRNGKey(seed))
+        return float(metrics["loss"])
+
+    l1, l2 = run(3), run(4)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l1 != pytest.approx(l2, rel=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # decode guard
 # ---------------------------------------------------------------------------
