@@ -292,7 +292,29 @@ def _fad_jax_impl(y1, y2):
     return jax.vmap(one)(y1, y2)
 
 
+_fad_jax_jitted = None
+
+
 def shape_similarity_batch_jax(y1, y2):
-    """jit-able batched shape similarity over (B, P) tracks (device path)."""
+    """jit-able batched shape similarity over (B, P) tracks (device path).
+
+    The window count varies per eval batch, and every distinct shape would
+    re-trace AND re-compile through the serial remote compile helper —
+    potentially slower than the host loop it replaces (round-3 review).
+    Pad the batch axis up to the next power of two (dummy zero windows,
+    sliced off after) so at most log2(max_windows) programs ever compile;
+    the jitted callable is cached at module scope."""
+    global _fad_jax_jitted
     import jax
-    return jax.jit(_fad_jax_impl)(y1.astype("float32"), y2.astype("float32"))
+    if _fad_jax_jitted is None:
+        _fad_jax_jitted = jax.jit(_fad_jax_impl)
+    n = y1.shape[0]
+    bucket = 1 << max(0, (n - 1).bit_length())
+    if bucket != n:
+        pad = bucket - n
+        y1 = np.concatenate([y1, np.zeros((pad,) + y1.shape[1:],
+                                          y1.dtype)])
+        y2 = np.concatenate([y2, np.zeros((pad,) + y2.shape[1:],
+                                          y2.dtype)])
+    out = _fad_jax_jitted(y1.astype("float32"), y2.astype("float32"))
+    return out[:n]

@@ -89,7 +89,12 @@ class MetricsLogger:
 
     def step_echo(self, step: int, metrics: Dict[str, Any],
                   every: int = 50) -> None:
-        if self.echo and step % every == 0:
+        # quotient tracking, not divisibility: callers advance step in
+        # strides (steps_per_dispatch) that rarely divide `every`, which
+        # silently skipped most echo points (round-3 review)
+        q = step // every
+        if self.echo and q > getattr(self, "_last_echo_q", 0):
+            self._last_echo_q = q
             loss = float(np.asarray(metrics.get("loss", np.nan)))
             acc = metrics.get("weighted_acc")
             acc = float(np.asarray(acc)) if acc is not None else float("nan")

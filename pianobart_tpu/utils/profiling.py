@@ -21,6 +21,7 @@ import time
 from typing import Iterator, Optional
 
 import jax
+import numpy as np
 
 __all__ = ["trace", "StepTimer", "block"]
 
@@ -44,10 +45,18 @@ def trace(log_dir: str, with_memory: bool = True) -> Iterator[None]:
 
 
 def block(tree) -> None:
-    """Block until every array in a pytree is ready."""
-    for leaf in jax.tree.leaves(tree):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+    """Synchronize on a pytree of device arrays.
+
+    Through the axon tunnel, ``block_until_ready`` alone UNDER-reports
+    latency (CLAUDE.md); fetching a scalar value is the only reliable
+    sync, so the smallest leaf is materialized in addition to blocking."""
+    leaves = [l for l in jax.tree.leaves(tree)
+              if hasattr(l, "block_until_ready")]
+    for leaf in leaves:
+        leaf.block_until_ready()
+    if leaves:
+        smallest = min(leaves, key=lambda l: getattr(l, "size", 1))
+        np.asarray(smallest).ravel()[:1]   # host fetch = true sync
 
 
 class StepTimer:

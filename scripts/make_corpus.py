@@ -340,6 +340,10 @@ def procedural_song(rng, style_name: str, n_bars: int) -> MidiFile:
     if rng.random() < 0.15:  # zero-length glitch notes (sequencer exports)
         for n in list(acc.notes[:: max(1, len(acc.notes) // 20)]):
             acc.notes.append(Note(n.velocity, n.pitch, n.start, n.start))
+    # expose the ACTUAL mode for the emotion label: inferring it from the
+    # first note's pitch class was random noise (round-3 review) — the
+    # valence bit of Q labels carried no signal for procedural songs
+    m.is_minor = scale is MINOR
     return m
 
 
@@ -377,7 +381,7 @@ def make_corpus(out_dir: str, n_files: int = 160, seed: int = 2024):
         put("Bach", bach_prelude(rng), f"bwv846_{i}")
         put("Pachelbel", pachelbel_canon(rng, n_rounds=4 + i), f"canon_{i}")
         put("Beethoven", ode_to_joy(rng, variations=2 + i % 3), f"ode_{i}")
-        put("Beethoven", fur_elise(rng), f"elise_{i}")
+        put("Beethoven", fur_elise(rng), f"elise_{i}", minor=True)  # A minor
 
     # procedural composers
     styles = list(STYLES)
@@ -392,13 +396,12 @@ def make_corpus(out_dir: str, n_files: int = 160, seed: int = 2024):
             else:
                 n_bars = int(rng.integers(16, 120))
             m = procedural_song(rng, style, n_bars)
-            put(style, m, f"{style.lower()}_{i}",
-                minor=m.instruments[0].notes[0].pitch % 12 in (3, 8, 10))
+            put(style, m, f"{style.lower()}_{i}", minor=m.is_minor)
 
     # duplicates (dedup path) and corrupt files (error tolerance)
     dup_src = procedural_song(rng, "Folk", 24)
-    put("Folk", dup_src, "dup_a")
-    put("Folk", dup_src, "dup_b")
+    put("Folk", dup_src, "dup_a", minor=dup_src.is_minor)
+    put("Folk", dup_src, "dup_b", minor=dup_src.is_minor)
     bad_dir = os.path.join(out_dir, "Broken")
     os.makedirs(bad_dir, exist_ok=True)
     with open(os.path.join(bad_dir, "Q3_truncated.mid"), "wb") as f:

@@ -94,18 +94,30 @@ def main():
 
     from scripts.make_corpus import make_corpus
     corpus = os.path.join(work, "corpus")
-    if not os.path.isdir(corpus):
+    done_marker = os.path.join(corpus, ".complete")
+    if not os.path.exists(done_marker):
+        # bare isdir() let an interrupted generation poison every later
+        # run with a partial corpus (round-3 review); rebuild from scratch
+        # unless the completion marker exists
+        import shutil as _sh
+        _sh.rmtree(corpus, ignore_errors=True)
         make_corpus(corpus, n_files=400, seed=2024)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    n_corpus_files = sum(
+        len([f for f in fs if f.endswith(".mid")])
+        for _, _, fs in os.walk(corpus))
 
     # 1. tokenize: pretrain stream + composer + emotion labels
-    t_tok0 = time.time()
+    tok_s = 0.0   # exactly 0.0 = the 'cached' sentinel dur() understands
     if not os.path.exists(os.path.join(
             work, "Data/output_emotion/corpus/corpus_train.npy")):
+        t_tok0 = time.time()
         sh(["tokenize", "--dataset", corpus, "--task", "pretrain",
             "--no_pad"], cwd=work)
         sh(["tokenize", "--dataset", corpus, "--task", "composer"], cwd=work)
         sh(["tokenize", "--dataset", corpus, "--task", "emotion"], cwd=work)
-    tok_s = time.time() - t_tok0
+        tok_s = time.time() - t_tok0
 
     import numpy as np
     tr = np.load(os.path.join(work, "Data/output_pretrain/corpus/"
@@ -268,7 +280,8 @@ def main():
         "zero-length notes, duplicates, truncated files).  Every step below",
         "ran through the public CLI on the attached TPU v5e.",
         "",
-        f"- corpus: 400 files -> tokenize (pretrain+composer+emotion) in "
+        f"- corpus: {n_corpus_files} files -> tokenize "
+        f"(pretrain+composer+emotion) in "
         f"{dur(tok_s)}; {n_windows} x1024 pretrain windows",
         f"- pretrain: flagship model, batch 16, {epochs_pre} epochs "
         f"({dur(pre_s)} wall incl. compile)",
@@ -299,19 +312,20 @@ def main():
         lines.append(
             f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
             f"| {rec['valid']['loss']:.4f} | {rec['weighted_acc']:.4f} |")
-    lines += [
-        "",
-        f"## Composer finetune ({n_cls}-way classification)",
-        "",
-        *label_stats(work, "Data/output_composer/corpus", "corpus"),
-        "| epoch | train loss | valid acc | test acc |",
-        "|---|---|---|---|",
-    ]
-    for rec in ft:
-        lines.append(
-            f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
-            f"| {rec['valid'].get('acc', float('nan')):.4f} "
-            f"| {rec['test'].get('acc', float('nan')):.4f} |")
+    def acc_table(title, recs, stats=()):
+        rows = ["", f"## {title}", "", *stats,
+                "| epoch | train loss | valid acc | test acc |",
+                "|---|---|---|---|"]
+        for rec in recs:
+            rows.append(
+                f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+                f"| {rec['valid'].get('acc', float('nan')):.4f} "
+                f"| {rec['test'].get('acc', float('nan')):.4f} |")
+        return rows
+
+    lines += acc_table(
+        f"Composer finetune ({n_cls}-way classification)", ft,
+        label_stats(work, "Data/output_composer/corpus", "corpus"))
     lines += [
         "",
         f"## Generation finetune ({epochs_gen} epochs, field-weighted CE + FAD)",
@@ -327,31 +341,10 @@ def main():
             f"| {v['loss']:.4f} | {mean_acc:.4f} "
             f"| {v.get('fad', float('nan')):.4f} "
             f"| {v.get('fad_bar', float('nan')):.4f} |")
-    lines += [
-        "",
-        f"## Velocity finetune (token classification)",
-        "",
-        *label_stats(work, "Data/output_velocity/corpus", "corpus",
-                     token_level=True),
-        "| epoch | train loss | valid acc | test acc |",
-        "|---|---|---|---|",
-    ]
-    for rec in vel:
-        lines.append(
-            f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
-            f"| {rec['valid'].get('acc', float('nan')):.4f} "
-            f"| {rec['test'].get('acc', float('nan')):.4f} |")
-    def acc_table(title, recs, stats=()):
-        rows = ["", f"## {title}", "", *stats,
-                "| epoch | train loss | valid acc | test acc |",
-                "|---|---|---|---|"]
-        for rec in recs:
-            rows.append(
-                f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
-                f"| {rec['valid'].get('acc', float('nan')):.4f} "
-                f"| {rec['test'].get('acc', float('nan')):.4f} |")
-        return rows
-
+    lines += acc_table(
+        "Velocity finetune (token classification)", vel,
+        label_stats(work, "Data/output_velocity/corpus", "corpus",
+                    token_level=True))
     lines += acc_table(
         "Emotion finetune (4-way classification)", emo,
         label_stats(work, "Data/output_emotion/corpus", "corpus"))
