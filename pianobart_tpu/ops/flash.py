@@ -22,7 +22,11 @@ was measured SLOWER on v5e — these kernels are VPU-bound, and the extra
 MXU bf16 only on the two dots whose operands are HBM-natural bf16
 (S = Q·Kᵀ, dP = dO·Vᵀ) — no new casts, fewer f32 decomposition passes,
 numerically equivalent (bf16-valued products are exact under f32
-accumulation either way).  Measured on v5e, the H-in-lanes
+accumulation either way).  ``PBX_FLASH_SCOREPREC=default`` targets the
+same two dots with ``precision=DEFAULT`` while keeping every operand
+dtype uniformly f32 — same single-bf16-pass lowering, but no mixed-dtype
+dots in the program (the suspected trigger of the remote compiler's
+MIXED pathology).  Measured on v5e, the H-in-lanes
 layout beats the transpose-based one 2.82 vs 3.52 ms/module forward and
 407.7 vs 424.0 ms on the full-model fwd+bwd probe (scripts/perf_probe.py).
 
@@ -66,11 +70,23 @@ NEG_INF = -1e30
 # while every dot touching the f32 (S,S) P/dS intermediates stays f32.
 # For bf16-valued inputs the products are exact in f32 accumulation either
 # way, so the mixed path is numerically equivalent to the default.
+# PBX_FLASH_SCOREPREC=default targets the same two dots as MIXED from the
+# opposite direction: operand DTYPES stay uniformly f32 (no mixed-dtype
+# dots anywhere in the kernel — the property suspected of tripping the
+# remote compiler's >55 min pathology on the MIXED program), but the dots
+# carry ``precision=DEFAULT`` so Mosaic lowers them as ONE bf16 MXU pass
+# instead of the multi-pass f32 decomposition.  For bf16-valued operands
+# (the training path: q/k/do enter the kernel as bf16 and the f32 upcast
+# is exact) the truncation back to bf16 is lossless, so this is
+# numerically identical to MIXED.
 # Read ONCE at import: reading inside the kernel would make the flags a
 # silent no-op after the first jit compile (env is not a jit cache key).
 _BF16_OPERANDS = os.environ.get("PBX_FLASH_BF16", "0") == "1"
 _MIXED_OPERANDS = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
                    and not _BF16_OPERANDS)
+_SCORE_PREC_DEFAULT = (
+    os.environ.get("PBX_FLASH_SCOREPREC", "") == "default"
+    and not _BF16_OPERANDS and not _MIXED_OPERANDS)
 
 
 _warned_flag_freeze = False
@@ -82,15 +98,19 @@ def _check_bf16_flag_freeze() -> None:
     now_bf16 = os.environ.get("PBX_FLASH_BF16", "0") == "1"
     now_mixed = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
                  and not now_bf16)
-    if ((now_bf16 != _BF16_OPERANDS or now_mixed != _MIXED_OPERANDS)
-            and not _warned_flag_freeze):
+    now_prec = (os.environ.get("PBX_FLASH_SCOREPREC", "") == "default"
+                and not now_bf16 and not now_mixed)
+    if ((now_bf16 != _BF16_OPERANDS or now_mixed != _MIXED_OPERANDS
+         or now_prec != _SCORE_PREC_DEFAULT) and not _warned_flag_freeze):
         _warned_flag_freeze = True
         import warnings
         warnings.warn(
             f"PBX_FLASH_BF16={int(now_bf16)}/PBX_FLASH_MIXED={int(now_mixed)}"
+            f"/PBX_FLASH_SCOREPREC={int(now_prec)}"
             f" set after pianobart_tpu.ops.flash was imported; the flags are"
             f" frozen at import time (bf16={_BF16_OPERANDS},"
-            f" mixed={_MIXED_OPERANDS}). Set them before the first import.",
+            f" mixed={_MIXED_OPERANDS}, scoreprec={_SCORE_PREC_DEFAULT})."
+            f" Set them before the first import.",
             stacklevel=3)
 
 
@@ -110,6 +130,19 @@ def _score_in(x):
     if _BF16_OPERANDS or _MIXED_OPERANDS:
         return x
     return x.astype(jnp.float32)
+
+
+def _score_dot(a, b, contract):
+    """The S = Q·Kᵀ / dP = dO·Vᵀ dots — the two whose operands are
+    HBM-natural bf16 values.  One place so the operand-dtype (BF16/MIXED)
+    and dot-precision (SCOREPREC) experiments stay consistent across the
+    fwd, dq, dkv and fused-bwd kernels."""
+    kw = {}
+    if _SCORE_PREC_DEFAULT:
+        kw["precision"] = jax.lax.Precision.DEFAULT
+    return jax.lax.dot_general(
+        _score_in(a), _score_in(b), (contract, ((), ())),
+        preferred_element_type=jnp.float32, **kw)
 
 
 def _p_for_dot(p, other_dtype):
@@ -180,10 +213,7 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
 
     @pl.when(run)
     def _compute():
-        q = _score_in(q_ref[0])                             # (Bq, D)
-        k = _score_in(k_ref[0])                             # (Bkv, D)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = _score_dot(q_ref[0], k_ref[0], ((1,), (1,)))    # (Bq, Bkv)
         mask = mask_ref[0, 0] != 0                          # (Bkv,)
         s = jnp.where(mask[None, :], s, NEG_INF)
         if causal:
@@ -285,9 +315,7 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        s = jax.lax.dot_general(
-            _score_in(q_ref[0]), _score_in(k_ref[0]),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = _score_dot(q_ref[0], k_ref[0], ((1,), (1,)))
         mask = mask_ref[0, 0] != 0
         s = jnp.where(mask[None, :], s, NEG_INF)
         if causal:
@@ -297,9 +325,7 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0, 0, 0][:, None])              # (Bq, Bkv) f32
-        dp = jax.lax.dot_general(
-            _score_in(do_ref[0]), _score_in(v_ref[0]),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = _score_dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0, 0, 0][:, None])
         k = _mxu_in(k_ref[0])
         dq_acc[...] += jax.lax.dot_general(
@@ -329,9 +355,7 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _compute():
-        s = jax.lax.dot_general(
-            _score_in(q_ref[0]), _score_in(k_ref[0]),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = _score_dot(q_ref[0], k_ref[0], ((1,), (1,)))
         mask = mask_ref[0, 0] != 0
         s = jnp.where(mask[None, :], s, NEG_INF)
         if causal:
@@ -345,9 +369,7 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_acc[...] += jax.lax.dot_general(
             _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            _score_in(do_ref[0]), _score_in(v_ref[0]),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = _score_dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0, 0, 0][:, None])             # (Bq, Bkv)
         q = _mxu_in(q_ref[0])
         dk_acc[...] += jax.lax.dot_general(
@@ -372,9 +394,7 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     multi-block shapes fall back to the two-kernel path, whose accumulator
     lifetimes don't fit a single grid order.
     """
-    s = jax.lax.dot_general(
-        _score_in(q_ref[0]), _score_in(k_ref[0]),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = _score_dot(q_ref[0], k_ref[0], ((1,), (1,)))
     mask = mask_ref[0, 0] != 0
     s = jnp.where(mask[None, :], s, NEG_INF)
     if causal:
@@ -386,9 +406,7 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dv_ref[0] = jax.lax.dot_general(
         _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
-        _score_in(do_ref[0]), _score_in(v_ref[0]),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = _score_dot(do_ref[0], v_ref[0], ((1,), (1,)))
     ds = p * (dp - delta_ref[0, 0, 0][:, None])
     k = _mxu_in(k_ref[0])
     dq_ref[0] = jax.lax.dot_general(

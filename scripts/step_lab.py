@@ -40,6 +40,10 @@ VARIANTS = {
     # (>55 min vs base's cached compile + 408.7 ms measurement in the
     # same sweep) — keep PBX_FLASH_MIXED off; see ROADMAP.md §3.
     "mixed":     {"PBX_FLASH_MIXED": "1"},
+    # Same two dots, opposite mechanism: uniform f32 operand dtypes with
+    # precision=DEFAULT (one bf16 MXU pass).  No mixed-dtype dots in the
+    # program — the compile-pathology dodge for "mixed".
+    "scoreprec": {"PBX_FLASH_SCOREPREC": "default"},
 }
 
 
@@ -54,6 +58,7 @@ def _effective_flags() -> dict:
         "fused_dropln": bart_mod._FUSED_DROPLN,
         "flash_mixed": flash_mod._MIXED_OPERANDS,
         "flash_bf16": flash_mod._BF16_OPERANDS,
+        "flash_scoreprec": flash_mod._SCORE_PREC_DEFAULT,
     }
 
 

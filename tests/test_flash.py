@@ -201,3 +201,41 @@ def test_mixed_operand_switch(monkeypatch):
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 rtol=1e-2, atol=2e-2,
                 err_msg=f"d{name}: mixed vs f32 (causal={causal})")
+
+
+def test_scoreprec_switch(monkeypatch):
+    """PBX_FLASH_SCOREPREC=default (precision=DEFAULT on the QKT / dO.VT
+    dots, operand dtypes uniformly f32): the compile-pathology dodge for
+    the MIXED variant.  On CPU interpret mode an f32 dot at DEFAULT
+    precision is exact f32, so the path must be BITWISE identical to the
+    committed one; on TPU the lowering truncates the (exactly
+    bf16-valued) operands to one bf16 MXU pass — the same numerics the
+    MIXED test pins at one-ULP scale."""
+    from pianobart_tpu.ops import flash as flash_mod
+    q, k, v, mask = setup(seed=6)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    def loss(q_, k_, v_, causal):
+        o = flash_mod.flash_attention(q_, k_, v_, mask, causal, BLK, BLK)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    for causal in (False, True):
+        monkeypatch.setattr(flash_mod, "_SCORE_PREC_DEFAULT", False)
+        monkeypatch.delenv("PBX_FLASH_SCOREPREC", raising=False)
+        out_f32 = flash_mod.flash_attention(qb, kb, vb, mask, causal,
+                                            BLK, BLK)
+        g_f32 = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb, causal)
+
+        monkeypatch.setattr(flash_mod, "_SCORE_PREC_DEFAULT", True)
+        monkeypatch.setenv("PBX_FLASH_SCOREPREC", "default")
+        out_sp = flash_mod.flash_attention(qb, kb, vb, mask, causal,
+                                           BLK, BLK)
+        g_sp = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb, causal)
+
+        np.testing.assert_array_equal(
+            np.asarray(out_sp, np.float32), np.asarray(out_f32, np.float32),
+            err_msg=f"scoreprec fwd (causal={causal})")
+        for name, a, b in zip("qkv", g_sp, g_f32):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=f"d{name}: scoreprec vs committed (causal={causal})")
