@@ -26,7 +26,9 @@ accumulation either way).  ``PBX_FLASH_SCOREPREC=default`` targets the
 same two dots with ``precision=DEFAULT`` while keeping every operand
 dtype uniformly f32 — same single-bf16-pass lowering, but no mixed-dtype
 dots in the program (the suspected trigger of the remote compiler's
-MIXED pathology).  Measured on v5e, the H-in-lanes
+MIXED pathology); ``=all`` extends DEFAULT precision to all seven dots
+(P/dS truncate to bf16 inside the MXU, no cast passes — the standard
+FlashAttention approximation).  Measured on v5e, the H-in-lanes
 layout beats the transpose-based one 2.82 vs 3.52 ms/module forward and
 407.7 vs 424.0 ms on the full-model fwd+bwd probe (scripts/perf_probe.py).
 
@@ -79,14 +81,24 @@ NEG_INF = -1e30
 # (the training path: q/k/do enter the kernel as bf16 and the f32 upcast
 # is exact) the truncation back to bf16 is lossless, so this is
 # numerically identical to MIXED.
+# PBX_FLASH_SCOREPREC=all goes one tier further: precision=DEFAULT on ALL
+# seven dots, including the ones whose LHS is an f32 (S,S) intermediate
+# (P·V, dS·K, Pᵀ·dO, dSᵀ·Q).  P/dS get truncated to bf16 INSIDE the MXU
+# pipeline — zero VPU cast passes, unlike PBX_FLASH_BF16 whose explicit
+# (S,S) casts were the measured loss — which is exactly what production
+# FlashAttention kernels do (P and dS feed the second matmul in
+# fp16/bf16).  Not bit-identical to the committed path: P/dS operands
+# lose mantissa below 2^-8, the same approximation every bf16 GPU
+# attention kernel ships with.
 # Read ONCE at import: reading inside the kernel would make the flags a
 # silent no-op after the first jit compile (env is not a jit cache key).
 _BF16_OPERANDS = os.environ.get("PBX_FLASH_BF16", "0") == "1"
 _MIXED_OPERANDS = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
                    and not _BF16_OPERANDS)
-_SCORE_PREC_DEFAULT = (
-    os.environ.get("PBX_FLASH_SCOREPREC", "") == "default"
-    and not _BF16_OPERANDS and not _MIXED_OPERANDS)
+_SCORE_PREC = (os.environ.get("PBX_FLASH_SCOREPREC", "")
+               if not (_BF16_OPERANDS or _MIXED_OPERANDS) else "")
+_SCORE_PREC_DEFAULT = _SCORE_PREC in ("default", "all")
+_ALL_PREC_DEFAULT = _SCORE_PREC == "all"
 
 
 _warned_flag_freeze = False
@@ -98,18 +110,18 @@ def _check_bf16_flag_freeze() -> None:
     now_bf16 = os.environ.get("PBX_FLASH_BF16", "0") == "1"
     now_mixed = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
                  and not now_bf16)
-    now_prec = (os.environ.get("PBX_FLASH_SCOREPREC", "") == "default"
-                and not now_bf16 and not now_mixed)
+    now_prec = (os.environ.get("PBX_FLASH_SCOREPREC", "")
+                if not (now_bf16 or now_mixed) else "")
     if ((now_bf16 != _BF16_OPERANDS or now_mixed != _MIXED_OPERANDS
-         or now_prec != _SCORE_PREC_DEFAULT) and not _warned_flag_freeze):
+         or now_prec != _SCORE_PREC) and not _warned_flag_freeze):
         _warned_flag_freeze = True
         import warnings
         warnings.warn(
             f"PBX_FLASH_BF16={int(now_bf16)}/PBX_FLASH_MIXED={int(now_mixed)}"
-            f"/PBX_FLASH_SCOREPREC={int(now_prec)}"
+            f"/PBX_FLASH_SCOREPREC={now_prec!r}"
             f" set after pianobart_tpu.ops.flash was imported; the flags are"
             f" frozen at import time (bf16={_BF16_OPERANDS},"
-            f" mixed={_MIXED_OPERANDS}, scoreprec={_SCORE_PREC_DEFAULT})."
+            f" mixed={_MIXED_OPERANDS}, scoreprec={_SCORE_PREC!r})."
             f" Set them before the first import.",
             stacklevel=3)
 
@@ -149,6 +161,21 @@ def _p_for_dot(p, other_dtype):
     if _BF16_OPERANDS:
         return p.astype(other_dtype)
     return p
+
+
+def _acc_dot(p_or_ds, other, contract):
+    """The dots whose LHS is an f32 (S,S) intermediate (P or dS):
+    P·V, dS·K, Pᵀ·dO, dSᵀ·Q.  Under SCOREPREC=all they run at
+    precision=DEFAULT (P/dS truncated to bf16 inside the MXU pipeline,
+    no explicit cast pass — the standard FlashAttention approximation);
+    otherwise operand handling follows the BF16/committed paths."""
+    other = _mxu_in(other)
+    kw = {}
+    if _ALL_PREC_DEFAULT:
+        kw["precision"] = jax.lax.Precision.DEFAULT
+    return jax.lax.dot_general(
+        _p_for_dot(p_or_ds, other.dtype), other, (contract, ((), ())),
+        preferred_element_type=jnp.float32, **kw)
 
 # Measured on v5e (B=32, S=1024, H=8, D=128): 1024x1024 blocks are ~25%
 # faster forward than 512x512 (single-pass softmax, no cross-block rescale);
@@ -229,10 +256,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref,   # inputs
         p = jnp.exp(s - m_new)                              # (Bq, Bkv) f32
         corr = jnp.exp(m_prev - m_new)                      # (Bq, 1)
         l_ref[...] = l_ref[...] * corr + p.sum(axis=1, keepdims=True)
-        v = _mxu_in(v_ref[0])
-        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
-            _p_for_dot(p, v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + _acc_dot(
+            p, v_ref[0], ((1,), (0,)))
         m_ref[...] = m_new
 
     @pl.when(ikv == n_kv - 1)
@@ -327,10 +352,7 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         p = jnp.exp(s - lse_ref[0, 0, 0][:, None])              # (Bq, Bkv) f32
         dp = _score_dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0, 0, 0][:, None])
-        k = _mxu_in(k_ref[0])
-        dq_acc[...] += jax.lax.dot_general(
-            _p_for_dot(ds, k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dq_acc[...] += _acc_dot(ds, k_ref[0], ((1,), (0,)))
 
     @pl.when(ikv == n_kv - 1)
     def _finish():
@@ -365,16 +387,10 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse_ref[0, 0, 0][:, None])              # (Bq, Bkv) f32
-        do = _mxu_in(do_ref[0])
-        dv_acc[...] += jax.lax.dot_general(
-            _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dv_acc[...] += _acc_dot(p, do_ref[0], ((0,), (0,)))
         dp = _score_dot(do_ref[0], v_ref[0], ((1,), (1,)))
         ds = p * (dp - delta_ref[0, 0, 0][:, None])             # (Bq, Bkv)
-        q = _mxu_in(q_ref[0])
-        dk_acc[...] += jax.lax.dot_general(
-            _p_for_dot(ds, q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dk_acc[...] += _acc_dot(ds, q_ref[0], ((0,), (0,)))
 
     @pl.when(iq == n_q - 1)
     def _finish():
@@ -402,20 +418,14 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         s = jnp.where(rows >= cols, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0, 0, 0][:, None])                 # (Bq, Bkv) f32
-    do = _mxu_in(do_ref[0])
-    dv_ref[0] = jax.lax.dot_general(
-        _p_for_dot(p, do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dv_ref[0] = _acc_dot(p, do_ref[0],
+                         ((0,), (0,))).astype(dv_ref.dtype)
     dp = _score_dot(do_ref[0], v_ref[0], ((1,), (1,)))
     ds = p * (dp - delta_ref[0, 0, 0][:, None])
-    k = _mxu_in(k_ref[0])
-    dq_ref[0] = jax.lax.dot_general(
-        _p_for_dot(ds, k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    q = _mxu_in(q_ref[0])
-    dk_ref[0] = jax.lax.dot_general(
-        _p_for_dot(ds, q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dq_ref[0] = _acc_dot(ds, k_ref[0],
+                         ((1,), (0,))).astype(dq_ref.dtype)
+    dk_ref[0] = _acc_dot(ds, q_ref[0],
+                         ((0,), (0,))).astype(dk_ref.dtype)
 
 
 def _bwd_fused_call(qf, kf, vf, maskf, dof, lse, delta, causal,

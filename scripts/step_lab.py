@@ -44,6 +44,11 @@ VARIANTS = {
     # precision=DEFAULT (one bf16 MXU pass).  No mixed-dtype dots in the
     # program — the compile-pathology dodge for "mixed".
     "scoreprec": {"PBX_FLASH_SCOREPREC": "default"},
+    # precision=DEFAULT on ALL seven attention dots: P/dS truncate to
+    # bf16 inside the MXU (no cast passes — the standard FlashAttention
+    # approximation).  Compare its loss trace against base before
+    # adopting: unlike "scoreprec" this is NOT bit-identical.
+    "scoreprec_all": {"PBX_FLASH_SCOREPREC": "all"},
 }
 
 
@@ -58,7 +63,7 @@ def _effective_flags() -> dict:
         "fused_dropln": bart_mod._FUSED_DROPLN,
         "flash_mixed": flash_mod._MIXED_OPERANDS,
         "flash_bf16": flash_mod._BF16_OPERANDS,
-        "flash_scoreprec": flash_mod._SCORE_PREC_DEFAULT,
+        "flash_scoreprec": flash_mod._SCORE_PREC,
     }
 
 

@@ -203,14 +203,17 @@ def test_mixed_operand_switch(monkeypatch):
                 err_msg=f"d{name}: mixed vs f32 (causal={causal})")
 
 
-def test_scoreprec_switch(monkeypatch):
-    """PBX_FLASH_SCOREPREC=default (precision=DEFAULT on the QKT / dO.VT
-    dots, operand dtypes uniformly f32): the compile-pathology dodge for
-    the MIXED variant.  On CPU interpret mode an f32 dot at DEFAULT
-    precision is exact f32, so the path must be BITWISE identical to the
-    committed one; on TPU the lowering truncates the (exactly
-    bf16-valued) operands to one bf16 MXU pass — the same numerics the
-    MIXED test pins at one-ULP scale."""
+@pytest.mark.parametrize("mode", ["default", "all"])
+def test_scoreprec_switch(monkeypatch, mode):
+    """PBX_FLASH_SCOREPREC (precision=DEFAULT on the bf16-valued score
+    dots; "all" extends it to the P/dS dots): the compile-pathology dodge
+    for the MIXED variant.  On CPU (interpret mode) an f32 dot at DEFAULT
+    precision is exact f32, so BOTH modes must be BITWISE identical to
+    the committed path here — this pins the flag plumbing and the helper
+    refactor.  On TPU, "default" truncates exactly-bf16-valued operands
+    (lossless, the MIXED numerics) while "all" additionally truncates
+    P/dS to bf16 in the MXU (the standard FlashAttention approximation,
+    validated on-chip via step_lab loss traces before any adoption)."""
     from pianobart_tpu.ops import flash as flash_mod
     q, k, v, mask = setup(seed=6)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
@@ -219,23 +222,32 @@ def test_scoreprec_switch(monkeypatch):
         o = flash_mod.flash_attention(q_, k_, v_, mask, causal, BLK, BLK)
         return (o.astype(jnp.float32) ** 2).sum()
 
+    def set_mode(m):
+        monkeypatch.setattr(flash_mod, "_SCORE_PREC", m)
+        monkeypatch.setattr(flash_mod, "_SCORE_PREC_DEFAULT",
+                            m in ("default", "all"))
+        monkeypatch.setattr(flash_mod, "_ALL_PREC_DEFAULT", m == "all")
+        if m:
+            monkeypatch.setenv("PBX_FLASH_SCOREPREC", m)
+        else:
+            monkeypatch.delenv("PBX_FLASH_SCOREPREC", raising=False)
+
     for causal in (False, True):
-        monkeypatch.setattr(flash_mod, "_SCORE_PREC_DEFAULT", False)
-        monkeypatch.delenv("PBX_FLASH_SCOREPREC", raising=False)
+        set_mode("")
         out_f32 = flash_mod.flash_attention(qb, kb, vb, mask, causal,
                                             BLK, BLK)
         g_f32 = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb, causal)
 
-        monkeypatch.setattr(flash_mod, "_SCORE_PREC_DEFAULT", True)
-        monkeypatch.setenv("PBX_FLASH_SCOREPREC", "default")
+        set_mode(mode)
         out_sp = flash_mod.flash_attention(qb, kb, vb, mask, causal,
                                            BLK, BLK)
         g_sp = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb, causal)
 
         np.testing.assert_array_equal(
             np.asarray(out_sp, np.float32), np.asarray(out_f32, np.float32),
-            err_msg=f"scoreprec fwd (causal={causal})")
+            err_msg=f"scoreprec={mode} fwd (causal={causal})")
         for name, a, b in zip("qkv", g_sp, g_f32):
             np.testing.assert_array_equal(
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
-                err_msg=f"d{name}: scoreprec vs committed (causal={causal})")
+                err_msg=f"d{name}: scoreprec={mode} vs committed "
+                        f"(causal={causal})")
