@@ -83,13 +83,13 @@ NEG_INF = -1e30
 # numerically identical to MIXED.
 # PBX_FLASH_SCOREPREC=all goes one tier further: precision=DEFAULT on ALL
 # seven dots, including the ones whose LHS is an f32 (S,S) intermediate
-# (P·V, dS·K, Pᵀ·dO, dSᵀ·Q).  P/dS get truncated to bf16 INSIDE the MXU
-# pipeline — zero VPU cast passes, unlike PBX_FLASH_BF16 whose explicit
-# (S,S) casts were the measured loss — which is exactly what production
-# FlashAttention kernels do (P and dS feed the second matmul in
-# fp16/bf16).  Not bit-identical to the committed path: P/dS operands
-# lose mantissa below 2^-8, the same approximation every bf16 GPU
-# attention kernel ships with.
+# (P·V, dS·K, Pᵀ·dO, dSᵀ·Q).
+# SETTLED (scripts/scoreprec_tpu_check.py): BOTH modes are bitwise
+# no-ops on TPU.  jax's config default matmul precision is already
+# Precision.DEFAULT outside the CPU test conftest, and it applies to
+# dots inside pallas kernels — the committed f32 dots were ALREADY
+# single bf16 MXU passes with P/dS truncated in the MXU pipeline.
+# The flags remain only as documentation of the measurement.
 # Read ONCE at import: reading inside the kernel would make the flags a
 # silent no-op after the first jit compile (env is not a jit cache key).
 _BF16_OPERANDS = os.environ.get("PBX_FLASH_BF16", "0") == "1"
