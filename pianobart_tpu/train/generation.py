@@ -54,15 +54,12 @@ def _gen_loss(params, apply_fn, x, y, w, cfg, decoder_mode, dropout_rng,
     return loss, (fused, per_field, attn_dec, loss_mask)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "decoder_mode", "train"),
-                   donate_argnums=(0,))
-def generation_step(state: TrainState, x: jax.Array, y: jax.Array,
-                    rng: jax.Array, cfg: PianoBartConfig,
-                    decoder_mode: str = "intro",
-                    train: bool = True,
-                    weight: Optional[jax.Array] = None,
-                    ) -> Tuple[TrainState, Dict[str, Any]]:
+def _generation_step(state: TrainState, x: jax.Array, y: jax.Array,
+                     rng: jax.Array, cfg: PianoBartConfig,
+                     decoder_mode: str = "intro",
+                     train: bool = True,
+                     weight: Optional[jax.Array] = None,
+                     ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
     if train:
         (loss, aux), grads = jax.value_and_grad(_gen_loss, has_aux=True)(
@@ -78,6 +75,23 @@ def generation_step(state: TrainState, x: jax.Array, y: jax.Array,
     metrics = {"loss": loss, "field_loss": per_field, "field_acc": accs,
                "outputs": outputs, "attn_dec": attn_dec}
     return state, metrics
+
+
+# Donation is train-only, mirroring train/finetune.py: an eval call
+# (train=False) returns the state unchanged, and a caller that keeps using
+# its original state reference after a donated eval would hit deleted
+# buffers on TPU (donation is a no-op on CPU, so tests can't catch it).
+_gen_train = functools.partial(jax.jit, static_argnames=(
+    "cfg", "decoder_mode", "train"), donate_argnums=(0,))(_generation_step)
+_gen_eval = functools.partial(jax.jit, static_argnames=(
+    "cfg", "decoder_mode", "train"))(_generation_step)
+
+
+def generation_step(state, x, y, rng, cfg, decoder_mode="intro", train=True,
+                    weight=None):
+    f = _gen_train if train else _gen_eval
+    return f(state, x, y, rng, cfg=cfg, decoder_mode=decoder_mode,
+             train=train, weight=weight)
 
 
 def _ablation_prepare(batch: jax.Array):
@@ -114,13 +128,11 @@ def _ablation_loss(params, apply_fn, batch, w, cfg, dropout_rng,
     return loss, (fused, per_field, loss_mask)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "train"),
-                   donate_argnums=(0,))
-def ablation_step(state: TrainState, batch: jax.Array, rng: jax.Array,
-                  cfg: PianoBartConfig,
-                  train: bool = True,
-                  weight: Optional[jax.Array] = None,
-                  ) -> Tuple[TrainState, Dict[str, Any]]:
+def _ablation_step(state: TrainState, batch: jax.Array, rng: jax.Array,
+                   cfg: PianoBartConfig,
+                   train: bool = True,
+                   weight: Optional[jax.Array] = None,
+                   ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
     if train:
         (loss, aux), grads = jax.value_and_grad(_ablation_loss, has_aux=True)(
@@ -134,3 +146,14 @@ def ablation_step(state: TrainState, batch: jax.Array, rng: jax.Array,
     metrics = {"loss": loss, "field_loss": per_field, "field_acc": accs,
                "outputs": greedy_octuple(fused, cfg), "loss_mask": loss_mask}
     return state, metrics
+
+
+_abl_train = functools.partial(jax.jit, static_argnames=(
+    "cfg", "train"), donate_argnums=(0,))(_ablation_step)
+_abl_eval = functools.partial(jax.jit, static_argnames=(
+    "cfg", "train"))(_ablation_step)
+
+
+def ablation_step(state, batch, rng, cfg, train=True, weight=None):
+    f = _abl_train if train else _abl_eval
+    return f(state, batch, rng, cfg=cfg, train=train, weight=weight)
