@@ -49,6 +49,18 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh", type=str, default=None,
                    help="dpxTPxSP, e.g. 4x2x1 (default: all devices on dp)")
     p.add_argument("--seed", type=int, default=2023)
+    # beyond-reference training knobs (defaults = reference behavior)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine", "linear"],
+                   help="lr schedule; cosine/linear decay to 0 over "
+                        "--decay_steps optimizer steps")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear lr warmup steps (any schedule)")
+    p.add_argument("--decay_steps", type=int, default=None,
+                   help="total optimizer steps for cosine/linear decay")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: update params every k "
+                        "micro-batches (emulates a k-times-larger batch)")
 
 
 def _cfg_from_args(args, **kw):
@@ -102,8 +114,13 @@ def _init_state(model, cfg, args, lr: float):
     variables = model.init(rng, *sample)
     mesh = _make_mesh(args)
     params, _ = shard_params(variables, mesh)
-    state = TrainState.create(apply_fn=model.apply, params=params["params"],
-                              tx=make_optimizer(lr))
+    state = TrainState.create(
+        apply_fn=model.apply, params=params["params"],
+        tx=make_optimizer(lr,
+                          schedule=getattr(args, "lr_schedule", "constant"),
+                          warmup_steps=getattr(args, "warmup_steps", 0),
+                          decay_steps=getattr(args, "decay_steps", None),
+                          accum_steps=getattr(args, "accum_steps", 1)))
     return state, mesh
 
 

@@ -26,13 +26,56 @@ class TrainState(train_state.TrainState):
     """Standard flax TrainState; dropout rng folded in per step."""
 
 
+def make_schedule(learning_rate: float, schedule: str = "constant",
+                  warmup_steps: int = 0, decay_steps: Optional[int] = None):
+    """LR schedule factory (beyond the reference's constant lr).
+
+    ``constant`` (reference semantics, optionally with linear warmup),
+    ``cosine``/``linear`` decay to 0 over ``decay_steps`` optimizer steps
+    after ``warmup_steps`` of linear warmup.  Returns a float for the plain
+    constant case so optimizer state stays scalar-free.
+    """
+    if schedule == "constant":
+        if warmup_steps <= 0:
+            return learning_rate
+        return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    if decay_steps is None or decay_steps <= warmup_steps:
+        raise ValueError(
+            f"schedule {schedule!r} needs decay_steps > warmup_steps "
+            f"(got decay_steps={decay_steps}, warmup_steps={warmup_steps}); "
+            f"set --decay_steps to the planned total optimizer steps")
+    if schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, decay_steps)
+    if schedule == "linear":
+        warm = optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1))
+        decay = optax.linear_schedule(learning_rate, 0.0,
+                                      decay_steps - warmup_steps)
+        return optax.join_schedules([warm, decay], [warmup_steps])
+    raise ValueError(f"unknown lr schedule {schedule!r}")
+
+
 def make_optimizer(learning_rate: float = 2e-5, weight_decay: float = 0.01,
-                   clip_norm: float = 3.0) -> optax.GradientTransformation:
-    return optax.chain(
+                   clip_norm: float = 3.0, *, schedule: str = "constant",
+                   warmup_steps: int = 0, decay_steps: Optional[int] = None,
+                   accum_steps: int = 1) -> optax.GradientTransformation:
+    """AdamW(lr, wd 0.01) + global-norm clip 3.0 (reference defaults).
+
+    Beyond-reference knobs (all default to reference behavior):
+    ``schedule``/``warmup_steps``/``decay_steps`` select an LR schedule
+    (:func:`make_schedule`); ``accum_steps`` > 1 wraps the optimizer in
+    ``optax.MultiSteps`` — gradients accumulate over k micro-batches and
+    parameters update every k-th call, emulating a k-times-larger batch
+    within one chip's memory (B=64 OOMs a v5e, ROADMAP.md)."""
+    lr = make_schedule(learning_rate, schedule, warmup_steps, decay_steps)
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+        optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
                     weight_decay=weight_decay),
     )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def create_train_state(model: nn.Module, cfg: PianoBartConfig, rng: jax.Array,

@@ -1,0 +1,117 @@
+"""LR schedules + gradient accumulation (beyond-reference training knobs).
+
+The reference trains with a constant AdamW lr and no accumulation
+(pretrain.py:76); make_optimizer defaults reproduce that exactly, and these
+tests pin the added behavior: warmup/cosine/linear schedules and
+optax.MultiSteps accumulation (params update every k-th micro-batch).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pianobart_tpu.train.state import (TrainState, make_optimizer,
+                                       make_schedule)
+
+
+def test_constant_schedule_is_plain_float():
+    assert make_schedule(2e-5) == 2e-5
+
+
+def test_warmup_reaches_peak():
+    sched = make_schedule(1e-3, "constant", warmup_steps=10)
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(5e-4)
+    assert float(sched(10)) == pytest.approx(1e-3)
+
+
+def test_cosine_schedule_shape():
+    sched = make_schedule(1e-3, "cosine", warmup_steps=10, decay_steps=100)
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(1e-3)
+    assert float(sched(55)) < 1e-3
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_linear_schedule_shape():
+    sched = make_schedule(1e-3, "linear", warmup_steps=10, decay_steps=110)
+    assert float(sched(10)) == pytest.approx(1e-3)
+    assert float(sched(60)) == pytest.approx(5e-4)
+    assert float(sched(110)) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_decay_schedule_requires_decay_steps():
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_schedule(1e-3, "cosine")
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_schedule(1e-3, "linear", warmup_steps=50, decay_steps=50)
+
+
+def _quadratic_state(accum_steps):
+    params = {"w": jnp.asarray([1.0, -2.0])}
+    tx = make_optimizer(1e-1, weight_decay=0.0, accum_steps=accum_steps)
+    return TrainState.create(apply_fn=None, params=params, tx=tx)
+
+
+def test_accumulation_updates_every_kth_step():
+    state = _quadratic_state(accum_steps=2)
+    g = {"w": jnp.asarray([0.5, 0.5])}
+    w0 = np.asarray(state.params["w"])
+    state = state.apply_gradients(grads=g)
+    # first micro-step: gradients accumulate, params unchanged
+    np.testing.assert_array_equal(np.asarray(state.params["w"]), w0)
+    state = state.apply_gradients(grads=g)
+    assert not np.array_equal(np.asarray(state.params["w"]), w0)
+    # TrainState.step still counts micro-steps (rng folding stays unique)
+    assert int(state.step) == 2
+
+
+def test_accumulation_matches_mean_gradient_update():
+    g1 = {"w": jnp.asarray([0.2, -0.4])}
+    g2 = {"w": jnp.asarray([0.6, 0.0])}
+    gmean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+    acc = _quadratic_state(accum_steps=2)
+    acc = acc.apply_gradients(grads=g1)
+    acc = acc.apply_gradients(grads=g2)
+
+    ref = _quadratic_state(accum_steps=1)
+    ref = ref.apply_gradients(grads=gmean)
+    np.testing.assert_allclose(np.asarray(acc.params["w"]),
+                               np.asarray(ref.params["w"]), rtol=1e-6)
+
+
+def test_tiny_pretrain_step_with_accumulation():
+    """The fused train step runs unchanged over a MultiSteps optimizer."""
+    from flax import linen as nn
+    from pianobart_tpu import vocab as V
+    from pianobart_tpu.models import PianoBartLM, tiny_config
+    from pianobart_tpu.train.pretrain import pretrain_step
+
+    cfg = tiny_config()
+    model = PianoBartLM(cfg)
+    B, S = 2, cfg.max_len
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.zeros((B, S, 8), jnp.int32)
+    m = jnp.ones((B, S))
+    params = nn.meta.unbox(model.init(rng, ids, ids, m, m))["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=make_optimizer(1e-3, schedule="cosine", warmup_steps=2,
+                          decay_steps=10, accum_steps=2))
+    npr = np.random.default_rng(0)
+    x = np.zeros((B, S, 8), np.int32)
+    for f in range(8):
+        x[..., f] = npr.integers(0, V.TOKEN_BOUNDARY[f], (B, S))
+    x = jnp.asarray(x)
+    w0 = np.asarray(state.params["lm_head"]["proj"]["kernel"])
+    state, m1 = pretrain_step(state, x, rng, cfg, 0.15)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["lm_head"]["proj"]["kernel"]), w0)
+    # optimizer update 0 applies at warmup lr(0) == 0 (exact zero update);
+    # run through update 1, whose lr is positive, to see params move
+    for _ in range(3):
+        state, m2 = pretrain_step(state, x, rng, cfg, 0.15)
+    assert not np.array_equal(
+        np.asarray(state.params["lm_head"]["proj"]["kernel"]), w0)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
