@@ -227,7 +227,7 @@ class CheckpointManager:
             path = os.path.join(self.directory, "safety")
             target = {"params": state.params, "opt_state": state.opt_state,
                       "step": np.asarray(state.step)}
-            restored = self.ckptr.restore(path, target=target)
+            restored = self._restore_state(path, target)
             state = state.replace(params=restored["params"],
                                   opt_state=restored["opt_state"],
                                   step=int(restored["step"]))
@@ -242,11 +242,30 @@ class CheckpointManager:
             path = os.path.join(self.directory, f"step_{step}")
         target = {"params": state.params, "opt_state": state.opt_state,
                   "step": np.asarray(state.step)}
-        restored = self.ckptr.restore(path, target=target)
+        restored = self._restore_state(path, target)
         state = state.replace(params=restored["params"],
                               opt_state=restored["opt_state"],
                               step=int(restored["step"]))
         return state, int(step)
+
+    def _restore_state(self, path: str, target):
+        """Restore with a hint when the optimizer tree doesn't line up —
+        the usual cause is resuming with different optimizer flags
+        (--accum_steps wraps the state in optax.MultiSteps; schedules add
+        a step count), which changes the opt_state STRUCTURE."""
+        try:
+            return self.ckptr.restore(path, target=target)
+        except Exception as exc:
+            msg = str(exc)
+            if "opt_state" in msg or "structure" in msg.lower():
+                raise type(exc)(
+                    f"{msg}\n\nhint: the checkpoint's optimizer state does "
+                    f"not match this run's optimizer. Resume with the SAME "
+                    f"--accum_steps/--lr_schedule/--warmup_steps/"
+                    f"--decay_steps the checkpoint was written with (params-"
+                    f"only loading via --ckpt <dir> without --resume ignores "
+                    f"optimizer state and always works).") from exc
+            raise
 
     def restore_params(self, params, best: bool = True):
         """Load only model params (e.g. pretrain trunk into a finetune).

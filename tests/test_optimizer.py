@@ -81,6 +81,26 @@ def test_accumulation_matches_mean_gradient_update():
                                np.asarray(ref.params["w"]), rtol=1e-6)
 
 
+def test_resume_with_changed_optimizer_flags_hints(tmp_path):
+    """Resuming a checkpoint with a different --accum_steps must fail with
+    the flag-mismatch hint, not a bare orbax structure error."""
+    from pianobart_tpu.train.state import CheckpointManager
+
+    state = _quadratic_state(accum_steps=1)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, {"weighted_acc": 0.5}, is_best=True)
+
+    other = _quadratic_state(accum_steps=2)  # different opt_state structure
+    with pytest.raises(Exception, match="accum_steps"):
+        CheckpointManager(str(tmp_path / "ckpt")).restore(other)
+    # same structure still restores fine
+    fresh = _quadratic_state(accum_steps=1)
+    restored, epoch = CheckpointManager(str(tmp_path / "ckpt")).restore(fresh)
+    assert epoch == 1
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(state.params["w"]))
+
+
 def test_tiny_pretrain_step_with_accumulation():
     """The fused train step runs unchanged over a MultiSteps optimizer."""
     from flax import linen as nn
