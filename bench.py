@@ -84,7 +84,7 @@ def main() -> None:
     batch = jnp.asarray(batch)
 
     # Warmup / compile (one multi-step dispatch).
-    state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
+    state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
     _ = float(losses[-1])
 
     # MFU from an analytic FLOP count (XLA cost_analysis can't see inside
@@ -119,7 +119,7 @@ def main() -> None:
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
-        state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg,
+        state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg,
                                                  0.15, K)
         _ = float(losses[-1])  # host sync each dispatch
     dt = time.perf_counter() - t0

@@ -61,6 +61,10 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient accumulation: update params every k "
                         "micro-batches (emulates a k-times-larger batch)")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="Polyak-average the params with this decay (e.g. "
+                        "0.999); eval/best-selection then use the EMA "
+                        "weights (export them via export-ckpt --ema)")
 
 
 def _cfg_from_args(args, **kw):
@@ -120,7 +124,8 @@ def _init_state(model, cfg, args, lr: float):
                           schedule=getattr(args, "lr_schedule", "constant"),
                           warmup_steps=getattr(args, "warmup_steps", 0),
                           decay_steps=getattr(args, "decay_steps", None),
-                          accum_steps=getattr(args, "accum_steps", 1)))
+                          accum_steps=getattr(args, "accum_steps", 1),
+                          ema_decay=getattr(args, "ema_decay", None)))
     return state, mesh
 
 
@@ -146,6 +151,24 @@ def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
         if k in params:
             params[k] = v
     return state.replace(params=params)
+
+
+def _make_lr_fn(args, lr: float):
+    """Host-side mirror of the optimizer's LR schedule for epoch logging.
+
+    Returns None for the plain constant case (nothing to log); otherwise a
+    callable mapping TrainState.step (micro-steps) to the LR the optimizer
+    applies — with --accum_steps k, the inner schedule only advances every
+    k-th micro-step (optax.MultiSteps), hence the // accum."""
+    schedule = getattr(args, "lr_schedule", "constant")
+    warmup = getattr(args, "warmup_steps", 0)
+    accum = max(1, getattr(args, "accum_steps", 1))
+    if schedule == "constant" and warmup <= 0:
+        return None
+    from .train.state import make_schedule
+    sched = make_schedule(lr, schedule, warmup,
+                          getattr(args, "decay_steps", None))
+    return lambda opt_step: float(sched(opt_step // accum))
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +239,8 @@ def cmd_pretrain(args) -> int:
                             checkpoint_every_dispatches=(
                                 args.checkpoint_every_dispatches),
                             train_step_fn=train_step_fn,
-                            eval_step_fn=eval_step_fn)
+                            eval_step_fn=eval_step_fn,
+                            lr_fn=_make_lr_fn(args, args.lr))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -277,7 +301,8 @@ def cmd_finetune(args) -> int:
 
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
                               batch_size=args.batch_size, patience=3,
-                              seed=args.seed, put_batch=put_batch_fn(mesh))
+                              seed=args.seed, put_batch=put_batch_fn(mesh),
+                              lr_fn=_make_lr_fn(args, args.lr))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -316,7 +341,8 @@ def cmd_finetune_generation(args) -> int:
                               batch_size=args.batch_size, patience=30,
                               seed=args.seed, select="weighted_field_acc",
                               eval_hook=eval_hook,
-                              put_batch=put_batch_fn(mesh))
+                              put_batch=put_batch_fn(mesh),
+                              lr_fn=_make_lr_fn(args, args.lr))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -361,7 +387,8 @@ def cmd_ablation(args) -> int:
     runner = SupervisedRunner(state, cfg, step_fn, data, save_dir,
                               batch_size=args.batch_size, patience=30,
                               seed=args.seed, select="weighted_field_acc",
-                              put_batch=put_batch_fn(mesh))
+                              put_batch=put_batch_fn(mesh),
+                              lr_fn=_make_lr_fn(args, args.lr))
     with mesh, nn.logical_axis_rules(LOGICAL_RULES):
         runner.run(args.epochs, resume=args.resume)
     return 0
@@ -465,13 +492,16 @@ def cmd_export_ckpt(args) -> int:
     ids = jnp.zeros((1, cfg.max_len, 8), jnp.int32)
     m = jnp.ones((1, cfg.max_len))
     template = nn.meta.unbox(model.init(rng, ids, ids, m, m))["params"]
-    params = CheckpointManager(args.ckpt).restore_params(template)
+    mgr = CheckpointManager(args.ckpt)
+    params = (mgr.restore_ema_params(template) if args.ema
+              else mgr.restore_params(template))
     sd = (export_trunk(params["pianobart"], cfg,
                        strict_ref=args.strict_ref) if args.trunk_only
           else export_lm(params, cfg, strict_ref=args.strict_ref))
     save_torch_checkpoint(sd, args.output)
     print(f"exported {args.ckpt} -> {args.output} "
-          f"({'trunk' if args.trunk_only else 'lm'}, {len(sd)} tensors)")
+          f"({'trunk' if args.trunk_only else 'lm'}"
+          f"{', ema' if args.ema else ''}, {len(sd)} tensors)")
     return 0
 
 
@@ -658,6 +688,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="also emit the reference's unused HF token-"
                           "embedding tables so main.py:168's strict "
                           "load_state_dict accepts the checkpoint")
+    sxc.add_argument("--ema", action="store_true",
+                     help="export the Polyak shadow average instead of the "
+                          "raw params (runs trained with --ema_decay)")
     _add_model_flags(sxc)
     sxc.set_defaults(fn=cmd_export_ckpt)
 

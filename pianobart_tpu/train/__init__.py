@@ -6,4 +6,5 @@ from .finetune import finetune_seq_step, finetune_token_step
 from .generation import ablation_step, generation_step
 from .runner import PretrainRunner, SupervisedRunner
 from .state import (CheckpointManager, TrainState, create_train_state,
-                    make_optimizer, make_schedule)
+                    get_ema_params, get_grad_norm, make_optimizer,
+                    make_schedule, params_ema)

@@ -20,11 +20,12 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from .. import vocab as V
 from ..models.config import PianoBartConfig
 from .objective import sequence_ce, token_ce
-from .state import TrainState
+from .state import TrainState, get_grad_norm
 
 _BAR_PAD = V.PAD[0]
 
@@ -52,11 +53,15 @@ def _finetune_seq_step(state: TrainState, x: jax.Array, y: jax.Array,
                       weight: Optional[jax.Array] = None,
                       ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
+    grad_norm = None
     if train:
         (loss, logits), grads = jax.value_and_grad(_seq_loss, has_aux=True)(
             state.params, state.apply_fn, x, y, weight, cfg, rng, False,
             reg_weight)
         state = state.apply_gradients(grads=grads)
+        grad_norm = get_grad_norm(state.opt_state)  # logged clip: free
+        if grad_norm is None:
+            grad_norm = optax.global_norm(grads)
     else:
         loss, logits = _seq_loss(state.params, state.apply_fn, x, y, weight,
                                  cfg, rng, True, reg_weight)
@@ -64,6 +69,8 @@ def _finetune_seq_step(state: TrainState, x: jax.Array, y: jax.Array,
     w = jnp.ones(y.shape[0]) if weight is None else weight
     metrics = {"loss": loss, "acc_num": ((pred == y) * w).sum(),
                "acc_den": w.sum(), "pred": pred}
+    if grad_norm is not None:  # train is static: branch resolved at trace
+        metrics["grad_norm"] = grad_norm
     return state, metrics
 
 
@@ -100,12 +107,16 @@ def _finetune_token_step(state: TrainState, x: jax.Array, y: jax.Array,
                         weight: Optional[jax.Array] = None,
                         ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
+    grad_norm = None
     if train:
         (loss, (logits, loss_mask)), grads = jax.value_and_grad(
             _token_loss, has_aux=True)(
             state.params, state.apply_fn, x, y, weight, cfg, velocity, rng,
             False, reg_weight)
         state = state.apply_gradients(grads=grads)
+        grad_norm = get_grad_norm(state.opt_state)
+        if grad_norm is None:
+            grad_norm = optax.global_norm(grads)
     else:
         loss, (logits, loss_mask) = _token_loss(
             state.params, state.apply_fn, x, y, weight, cfg, velocity, rng,
@@ -114,6 +125,8 @@ def _finetune_token_step(state: TrainState, x: jax.Array, y: jax.Array,
     metrics = {"loss": loss,
                "acc_num": ((pred == y) * loss_mask).sum(),
                "acc_den": loss_mask.sum(), "pred": pred}
+    if grad_norm is not None:
+        metrics["grad_norm"] = grad_norm
     return state, metrics
 
 # Donation is train-only: an eval call (train=False) must not invalidate

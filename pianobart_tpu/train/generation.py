@@ -25,10 +25,12 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from .. import vocab as V
 from ..models.config import PianoBartConfig
 from ..ops.sampling import greedy_octuple
+from .state import get_grad_norm
 from .objective import (GENERATION_FIELD_WEIGHTS, masked_field_accuracy,
                         masked_field_ce, shift_right)
 from .state import TrainState
@@ -61,11 +63,15 @@ def _generation_step(state: TrainState, x: jax.Array, y: jax.Array,
                      weight: Optional[jax.Array] = None,
                      ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
+    grad_norm = None
     if train:
         (loss, aux), grads = jax.value_and_grad(_gen_loss, has_aux=True)(
             state.params, state.apply_fn, x, y, weight, cfg, decoder_mode,
             rng, False)
         state = state.apply_gradients(grads=grads)
+        grad_norm = get_grad_norm(state.opt_state)  # logged clip: free
+        if grad_norm is None:
+            grad_norm = optax.global_norm(grads)
     else:
         loss, aux = _gen_loss(state.params, state.apply_fn, x, y, weight,
                               cfg, decoder_mode, rng, True)
@@ -74,6 +80,8 @@ def _generation_step(state: TrainState, x: jax.Array, y: jax.Array,
     outputs = greedy_octuple(fused, cfg)
     metrics = {"loss": loss, "field_loss": per_field, "field_acc": accs,
                "outputs": outputs, "attn_dec": attn_dec}
+    if grad_norm is not None:  # train is static: resolved at trace time
+        metrics["grad_norm"] = grad_norm
     return state, metrics
 
 
@@ -134,10 +142,14 @@ def _ablation_step(state: TrainState, batch: jax.Array, rng: jax.Array,
                    weight: Optional[jax.Array] = None,
                    ) -> Tuple[TrainState, Dict[str, Any]]:
     rng = jax.random.fold_in(rng, state.step)
+    grad_norm = None
     if train:
         (loss, aux), grads = jax.value_and_grad(_ablation_loss, has_aux=True)(
             state.params, state.apply_fn, batch, weight, cfg, rng, False)
         state = state.apply_gradients(grads=grads)
+        grad_norm = get_grad_norm(state.opt_state)
+        if grad_norm is None:
+            grad_norm = optax.global_norm(grads)
     else:
         loss, aux = _ablation_loss(state.params, state.apply_fn, batch,
                                    weight, cfg, rng, True)
@@ -145,6 +157,8 @@ def _ablation_step(state: TrainState, batch: jax.Array, rng: jax.Array,
     accs = masked_field_accuracy(fused, batch, loss_mask, cfg)
     metrics = {"loss": loss, "field_loss": per_field, "field_acc": accs,
                "outputs": greedy_octuple(fused, cfg), "loss_mask": loss_mask}
+    if grad_norm is not None:
+        metrics["grad_norm"] = grad_norm
     return state, metrics
 
 

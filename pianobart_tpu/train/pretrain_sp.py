@@ -138,8 +138,13 @@ def make_sp_pretrain_step(cfg: PianoBartConfig, mesh,
             state.params, corrupted, dec_ids, batch, loss_mask,
             enc_mask, dec_mask, rngd)
         state = state.apply_gradients(grads=grads)
+        from .state import get_grad_norm
+        grad_norm = get_grad_norm(state.opt_state)  # logged clip: free
+        if grad_norm is None:
+            import optax
+            grad_norm = optax.global_norm(grads)
         return state, {"loss": loss, "field_loss": per_field,
-                       "field_acc": accs}
+                       "field_acc": accs, "grad_norm": grad_norm}
 
     return step
 

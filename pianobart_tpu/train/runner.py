@@ -20,7 +20,16 @@ from ..models.config import PianoBartConfig
 from ..utils.logging import MetricsLogger
 from .pretrain import (batch_iterator, pretrain_eval_step,
                        pretrain_multi_step)
-from .state import CheckpointManager, TrainState
+from .state import CheckpointManager, TrainState, get_ema_params
+
+
+def _eval_state(state: TrainState) -> TrainState:
+    """State to evaluate with: params swapped for the Polyak shadow when the
+    optimizer carries one (make_optimizer(ema_decay=...)); the raw training
+    state otherwise.  Selection/best-checkpointing then follows the EMA
+    metrics while resume keeps the true params+optimizer."""
+    ema = get_ema_params(state.opt_state)
+    return state if ema is None else state.replace(params=ema)
 
 
 def _to_float(x):
@@ -38,7 +47,12 @@ class PretrainRunner:
                  steps_per_dispatch: int = 8,
                  checkpoint_every_dispatches: int = 0,
                  train_step_fn: Optional[Callable] = None,
-                 eval_step_fn: Optional[Callable] = None):
+                 eval_step_fn: Optional[Callable] = None,
+                 lr_fn: Optional[Callable] = None):
+        # lr_fn(opt_step) -> float: host-side mirror of the optimizer's LR
+        # schedule, logging only (cli._make_lr_fn builds it from the same
+        # flags that built the optimizer)
+        self.lr_fn = lr_fn
         # Custom step fns override the dense multi-step path (used by the
         # sequence-parallel trainer, train/pretrain_sp.py):
         #   train_step_fn(state, batch, rng) -> (state, metrics)
@@ -71,7 +85,7 @@ class PretrainRunner:
         """Batches are grouped K-per-dispatch: one device program per K
         steps (lax.scan inside pretrain_multi_step) instead of K host round
         trips."""
-        losses, accs, n = [], [], 0
+        losses, accs, gnorms, n = [], [], [], 0
         t0 = time.time()
         tokens = 0
         K = self.steps_per_dispatch
@@ -87,20 +101,25 @@ class PretrainRunner:
                 return
             stacked = np.stack(group)
             if self.train_step_fn is not None:
-                ls_l, ac_l = [], []
+                ls_l, ac_l, gn_l = [], [], []
                 for b in group:
                     self.state, m = self.train_step_fn(
                         self.state, self.put_batch(np.asarray(b)), self.rng)
                     ls_l.append(jnp.reshape(m["loss"], (1,)))
                     ac_l.append(m["field_acc"][None])
+                    if "grad_norm" in m:
+                        gn_l.append(jnp.reshape(m["grad_norm"], (1,)))
                 ls = jnp.concatenate(ls_l)
                 ac = jnp.concatenate(ac_l)
+                gn = jnp.concatenate(gn_l) if gn_l else None
             else:
-                self.state, (ls, ac) = pretrain_multi_step(
+                self.state, (ls, ac, gn) = pretrain_multi_step(
                     self.state, self.put_batch(stacked), self.rng, self.cfg,
                     self.mask_percent, len(group))
             losses.append(ls)
             accs.append(ac)
+            if gn is not None:
+                gnorms.append(gn)
             tokens += stacked.shape[0] * stacked.shape[1] * stacked.shape[2]
             n += len(group)
             dispatches += 1
@@ -128,14 +147,22 @@ class PretrainRunner:
                   f" sequences < batch_size {self.batch_size}; lower"
                   f" --batch_size to train on this dataset", file=sys.stderr)
         dt = time.time() - t0
-        return {"loss": _to_float(jnp.concatenate(losses).mean()) if losses
-                else 0.0,
-                "field_acc": np.asarray(jnp.concatenate(accs).mean(0))
-                if accs else np.zeros(8),
-                "tokens_per_sec": tokens / max(dt, 1e-9), "steps": n}
+        out = {"loss": _to_float(jnp.concatenate(losses).mean()) if losses
+               else 0.0,
+               "field_acc": np.asarray(jnp.concatenate(accs).mean(0))
+               if accs else np.zeros(8),
+               "tokens_per_sec": tokens / max(dt, 1e-9), "steps": n}
+        if gnorms:  # pre-clip global gradient norm (observability, SURVEY §5)
+            g = np.asarray(jnp.concatenate(gnorms))
+            out["grad_norm_mean"] = float(g.mean())
+            out["grad_norm_max"] = float(g.max())
+        if self.lr_fn is not None:
+            out["lr"] = float(self.lr_fn(int(self.state.step)))
+        return out
 
     def valid_epoch(self) -> Dict[str, Any]:
         losses, accs = [], []
+        eval_state = _eval_state(self.state)
         for bi, (batch, w) in enumerate(batch_iterator(
                 self.valid_data, self.batch_size, self.np_rng, shuffle=False,
                 drop_last=False)):
@@ -146,10 +173,10 @@ class PretrainRunner:
             # across epochs while decorrelating batches.
             rng = jax.random.fold_in(self.rng, bi)
             if self.eval_step_fn is not None:
-                m = self.eval_step_fn(self.state, self.put_batch(batch),
+                m = self.eval_step_fn(eval_state, self.put_batch(batch),
                                       rng, jnp.asarray(w))
             else:
-                m = pretrain_eval_step(self.state, self.put_batch(batch),
+                m = pretrain_eval_step(eval_state, self.put_batch(batch),
                                        rng, jnp.asarray(w), self.cfg,
                                        self.mask_percent)
             losses.append(m["loss"])
@@ -189,7 +216,10 @@ class PretrainRunner:
                 f"train_acc={fmt(tr['field_acc'])}, "
                 f"valid_loss={va['loss']:.4f}, "
                 f"valid_acc={fmt(va['field_acc'])}, "
-                f"tok/s={tr['tokens_per_sec']:.0f}")
+                + (f"gnorm={tr['grad_norm_mean']:.3f}, "
+                   if "grad_norm_mean" in tr else "")
+                + (f"lr={tr['lr']:.2e}, " if "lr" in tr else "")
+                + f"tok/s={tr['tokens_per_sec']:.0f}")
         # total wall-time report (main.py:94-100)
         self.logger.epoch_line(
             f"Time cost in pretrain is {time.time() - run_t0:.1f}s")
@@ -208,7 +238,9 @@ class SupervisedRunner:
                  patience: int = 3, seed: int = 2023,
                  select: str = "scalar_acc",
                  eval_hook: Optional[Callable] = None,
-                 put_batch: Callable = jnp.asarray):
+                 put_batch: Callable = jnp.asarray,
+                 lr_fn: Optional[Callable] = None):
+        self.lr_fn = lr_fn  # host-side LR mirror, logging only
         # put_batch shards inputs/labels/weights onto the mesh's dp axis
         # (parallel.mesh.put_batch_fn) — without it a multi-chip finetune
         # replicated every batch and computed it redundantly on every chip
@@ -237,9 +269,11 @@ class SupervisedRunner:
         acc_num = 0.0
         acc_den = 0.0
         field_accs = []
+        gnorms = []
         extras = []
         outputs = []
         n = len(X)
+        eval_state = None if train else _eval_state(self.state)
         idx = self.np_rng.permutation(n) if train else np.arange(n)
         # Every sample of the split is seen exactly once: the trailing short
         # batch is padded to one compiled shape with a zero sample-weight
@@ -257,14 +291,22 @@ class SupervisedRunner:
                 sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
             bx = self.put_batch(np.asarray(X[sel]).astype(np.int32))
             by = self.put_batch(np.asarray(y[sel]))
-            self.state, m = self.step_fn(self.state, bx, by, self.rng,
-                                         train=train, weight=weight)
+            if train:
+                self.state, m = self.step_fn(self.state, bx, by, self.rng,
+                                             train=True, weight=weight)
+            else:
+                # eval with the Polyak shadow when enabled; the returned
+                # state is the (possibly params-swapped) input — discard it
+                _, m = self.step_fn(eval_state, bx, by, self.rng,
+                                    train=False, weight=weight)
             losses.append(m["loss"])
             if "acc_num" in m:
                 acc_num += _to_float(m["acc_num"])
                 acc_den += _to_float(m["acc_den"])
             if "field_acc" in m:
                 field_accs.append(m["field_acc"])
+            if "grad_norm" in m:
+                gnorms.append(m["grad_norm"])
             if self.eval_hook is not None and not train:
                 hm = dict(m)
                 for k in ("outputs", "attn_dec", "pred"):
@@ -282,6 +324,12 @@ class SupervisedRunner:
             out["acc"] = acc_num / acc_den
         if field_accs:
             out["field_acc"] = np.asarray(jnp.stack(field_accs).mean(0))
+        if gnorms:
+            g = np.asarray(jnp.stack(gnorms))
+            out["grad_norm_mean"] = float(g.mean())
+            out["grad_norm_max"] = float(g.max())
+        if train and self.lr_fn is not None:
+            out["lr"] = float(self.lr_fn(int(self.state.step)))
         if extras:
             keys = extras[0].keys()
             out.update({k: float(np.mean([e[k] for e in extras]))
@@ -327,6 +375,9 @@ class SupervisedRunner:
             self.logger.epoch_line(
                 f"Epoch {epoch + 1}: train_loss={tr['loss']:.4f}, "
                 f"valid_loss={va['loss']:.4f}, "
+                + (f"gnorm={tr['grad_norm_mean']:.3f}, "
+                   if "grad_norm_mean" in tr else "")
+                + (f"lr={tr['lr']:.2e}, " if "lr" in tr else "")
                 + (f"valid_acc={va.get('acc', float('nan')):.4f}, "
                    if "acc" in va else "")
                 + (f"test_acc={te.get('acc', float('nan')):.4f}"

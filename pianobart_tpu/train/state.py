@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import numpy as np
@@ -24,6 +24,115 @@ from ..models.config import PianoBartConfig
 
 class TrainState(train_state.TrainState):
     """Standard flax TrainState; dropout rng folded in per step."""
+
+
+class ClipNormState(NamedTuple):
+    """State of :func:`clip_by_global_norm_logged`: the pre-clip global
+    gradient norm of the most recent (real) update."""
+    grad_norm: jax.Array
+
+
+def clip_by_global_norm_logged(max_norm: float) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` that RECORDS the norm it computes.
+
+    Bitwise-identical update math (same trigger/select formulation as
+    optax._src.clipping.clip_by_global_norm); the only difference is that
+    the global norm — which the clip has to compute anyway — is kept in the
+    transform state, so train steps can report it for free instead of
+    recomputing it (a second ``optax.global_norm`` over 170M-param grads
+    measured ~2 ms/step on v5e — XLA does not CSE it across the scan/donation
+    boundaries).  Read it back with :func:`get_grad_norm`.
+    """
+    import jax.numpy as jnp
+
+    def init(params):
+        del params
+        return ClipNormState(grad_norm=jnp.zeros((), jnp.float32))
+
+    def update(updates, state, params=None):
+        del params, state
+        g_norm = optax.global_norm(updates)
+        trigger = jnp.squeeze(g_norm < max_norm)
+
+        def clip_fn(t):
+            return jax.lax.select(trigger, t,
+                                  (t / g_norm.astype(t.dtype)) * max_norm)
+
+        return (jax.tree.map(clip_fn, updates),
+                ClipNormState(grad_norm=g_norm.astype(jnp.float32)))
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_grad_norm(opt_state):
+    """Pre-clip global grad norm of the last update, or None.
+
+    Walks nested optimizer states (chain tuples, MultiSteps inner state)
+    for :class:`ClipNormState`.  Under ``--accum_steps`` the inner clip only
+    runs on real updates, so micro-steps report the last real update's norm.
+    """
+    found = _find_state(opt_state, ClipNormState)
+    return None if found is None else found.grad_norm
+
+
+class EmaState(NamedTuple):
+    """Shadow parameter average for :func:`params_ema`."""
+    ema: Any
+
+
+def params_ema(decay: float) -> optax.GradientTransformation:
+    """Exponential moving average of the *parameters* (Polyak averaging).
+
+    Placed LAST in the optimizer chain: at that point ``updates`` is the
+    final delta ``apply_gradients`` will add, so ``params + updates`` is the
+    post-step parameter value and the shadow tracks it with
+    ``ema = decay*ema + (1-decay)*new_params``.  The shadow initializes to
+    the initial params (no zero-init bias), updates pass through unchanged,
+    and the copy lives in ``opt_state`` so it checkpoints/restores for
+    free.  Evaluating/exporting with EMA weights is standard large-run
+    practice the reference lacks; retrieval is :func:`get_ema_params`.
+    """
+    def init(params):
+        # a REAL copy, not an aliasing identity map: the shadow must live in
+        # its own buffers, or the first donated train step dies with
+        # "attempt to donate the same buffer twice" (params and ema would
+        # flatten to the same jax.Array)
+        import jax.numpy as jnp
+        return EmaState(ema=jax.tree.map(jnp.copy, params))
+
+    def update(updates, state, params=None):
+        assert params is not None, "params_ema needs params in the chain"
+        new_ema = jax.tree.map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema, params, updates)
+        return updates, EmaState(ema=new_ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state, params=None):
+    """Extract EMA params from an optimizer state.
+
+    Walks nested optimizer states (tuples from ``optax.chain``,
+    ``MultiSteps.inner_opt_state``) looking for :class:`EmaState`; returns
+    ``params`` unchanged when no EMA transform is present — convenient for
+    "eval with EMA if enabled" call sites.
+    """
+    found = _find_state(opt_state, EmaState)
+    return params if found is None else found.ema
+
+
+def _find_state(node, kind):
+    if isinstance(node, kind):
+        return node
+    if hasattr(node, "inner_opt_state"):      # optax.MultiSteps
+        return _find_state(node.inner_opt_state, kind)
+    if isinstance(node, (tuple, list)):
+        for item in node:
+            got = _find_state(item, kind)
+            if got is not None:
+                return got
+    return None
 
 
 def make_schedule(learning_rate: float, schedule: str = "constant",
@@ -58,7 +167,9 @@ def make_schedule(learning_rate: float, schedule: str = "constant",
 def make_optimizer(learning_rate: float = 2e-5, weight_decay: float = 0.01,
                    clip_norm: float = 3.0, *, schedule: str = "constant",
                    warmup_steps: int = 0, decay_steps: Optional[int] = None,
-                   accum_steps: int = 1) -> optax.GradientTransformation:
+                   accum_steps: int = 1,
+                   ema_decay: Optional[float] = None,
+                   ) -> optax.GradientTransformation:
     """AdamW(lr, wd 0.01) + global-norm clip 3.0 (reference defaults).
 
     Beyond-reference knobs (all default to reference behavior):
@@ -66,13 +177,21 @@ def make_optimizer(learning_rate: float = 2e-5, weight_decay: float = 0.01,
     (:func:`make_schedule`); ``accum_steps`` > 1 wraps the optimizer in
     ``optax.MultiSteps`` — gradients accumulate over k micro-batches and
     parameters update every k-th call, emulating a k-times-larger batch
-    within one chip's memory (B=64 OOMs a v5e, ROADMAP.md)."""
+    within one chip's memory (B=64 OOMs a v5e, ROADMAP.md); ``ema_decay``
+    keeps a Polyak shadow average of the params (:func:`params_ema`) that
+    the runners evaluate/select-best with (EMA advances once per real
+    update, i.e. every ``accum_steps`` micro-batches)."""
     lr = make_schedule(learning_rate, schedule, warmup_steps, decay_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(clip_norm),
+    parts = [
+        clip_by_global_norm_logged(clip_norm),
         optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
                     weight_decay=weight_decay),
-    )
+    ]
+    if ema_decay is not None:
+        if not (0.0 < ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+        parts.append(params_ema(ema_decay))
+    tx = optax.chain(*parts)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
@@ -262,10 +381,94 @@ class CheckpointManager:
                     f"{msg}\n\nhint: the checkpoint's optimizer state does "
                     f"not match this run's optimizer. Resume with the SAME "
                     f"--accum_steps/--lr_schedule/--warmup_steps/"
-                    f"--decay_steps the checkpoint was written with (params-"
+                    f"--decay_steps/--ema_decay the checkpoint was written "
+                    f"with (params-"
                     f"only loading via --ckpt <dir> without --resume ignores "
                     f"optimizer state and always works).") from exc
             raise
+
+    def restore_ema_params(self, params, best: bool = True):
+        """Load the Polyak shadow average saved inside ``opt_state`` (runs
+        trained with ``--ema_decay``) and graft it onto ``params``.
+
+        The raw orbax restore loses the optax NamedTuple types, so the
+        :class:`EmaState` shows up as a dict with an ``"ema"`` key — found
+        by walking the opt_state tree."""
+        path = self._payload_path(best)
+        restored = self._raw_restore(path)
+
+        def find_ema(node):
+            if isinstance(node, dict):
+                if "ema" in node and isinstance(node["ema"], dict):
+                    return node["ema"]
+                for v in node.values():
+                    got = find_ema(v)
+                    if got is not None:
+                        return got
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    got = find_ema(v)
+                    if got is not None:
+                        return got
+            return None
+
+        ema = find_ema(restored.get("opt_state"))
+        if ema is None:
+            raise FileNotFoundError(
+                f"{path} has no EMA shadow in its optimizer state — the run "
+                f"was not trained with --ema_decay")
+        return self._graft(params, ema)
+
+    def _raw_restore(self, path: str):
+        """Target-less restore as PLAIN numpy arrays.
+
+        ``StandardCheckpointer.restore(path)`` without a target rebuilds the
+        jax.Arrays with the SAVED shardings — which fails outright when the
+        restoring process has a different device topology (e.g. exporting a
+        mesh-trained checkpoint from a single-host process: "available
+        devices are different from the devices used to save").  Forcing
+        ``RestoreArgs(restore_type=np.ndarray)`` on every leaf sidesteps
+        device placement entirely.
+        """
+        import pathlib
+        from orbax.checkpoint._src.handlers import (
+            pytree_checkpoint_handler as _pch)
+        ocp = self._ocp
+        p = pathlib.Path(path).resolve()
+        handler = _pch.PyTreeCheckpointHandler()
+        skeleton = handler.metadata(p)
+        skeleton = getattr(skeleton, "tree", skeleton)
+        leaves, treedef = jax.tree_util.tree_flatten(skeleton)
+        restore_args = jax.tree_util.tree_unflatten(
+            treedef,
+            [ocp.RestoreArgs(restore_type=np.ndarray) for _ in leaves])
+        return handler.restore(
+            p, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
+    def _payload_path(self, best: bool) -> str:
+        """Resolve a manager root (or direct payload dir) to a payload."""
+        if os.path.exists(os.path.join(self.directory,
+                                       "_CHECKPOINT_METADATA")):
+            return self.directory
+        meta = self._read_meta()
+        if best and meta.get("best_step") is not None:
+            return os.path.join(self.directory, "best")
+        if meta.get("last_step") is not None:
+            return os.path.join(self.directory, f"step_{meta['last_step']}")
+        raise FileNotFoundError(
+            f"no checkpoint found under {self.directory} — expected a "
+            f"manager root (meta.json + step_N/best subdirs) or a "
+            f"checkpoint payload dir (_CHECKPOINT_METADATA)")
+
+    @staticmethod
+    def _graft(template, saved):
+        if isinstance(template, dict):
+            return {k: CheckpointManager._graft(v, saved[k]) if k in saved
+                    else v for k, v in template.items()}
+        arr = np.asarray(saved)
+        assert arr.shape == np.asarray(template).shape, (
+            f"checkpoint shape {arr.shape} != model {np.shape(template)}")
+        return arr.astype(np.asarray(template).dtype)
 
     def restore_params(self, params, best: bool = True):
         """Load only model params (e.g. pretrain trunk into a finetune).
@@ -274,37 +477,12 @@ class CheckpointManager:
         and grafts matching subtrees onto ``params``.  Accepts either a
         manager root (``.../name`` with ``meta.json`` + ``step_N``/``best``
         subdirs) or a checkpoint payload directly (``.../name/best``,
-        ``.../name/step_7``) — users naturally pass both.
+        ``.../name/step_7``) — users naturally pass both.  A typo'd/empty
+        directory raises FileNotFoundError instead of dying deep inside
+        orbax on ``step_None``.
         """
-        if os.path.exists(os.path.join(self.directory,
-                                       "_CHECKPOINT_METADATA")):
-            path = self.directory  # payload dir passed directly
-        else:
-            meta = self._read_meta()
-            if best and meta.get("best_step") is not None:
-                name = "best"
-            elif meta.get("last_step") is not None:
-                name = f"step_{meta['last_step']}"
-            else:
-                # a typo'd/empty directory used to fall through to
-                # 'step_None' and die deep inside orbax
-                raise FileNotFoundError(
-                    f"no checkpoint found under {self.directory} — expected "
-                    f"a manager root (meta.json + step_N/best subdirs) or a "
-                    f"checkpoint payload dir (_CHECKPOINT_METADATA)")
-            path = os.path.join(self.directory, name)
-        restored = self.ckptr.restore(path)["params"]
-
-        def graft(template, saved):
-            if isinstance(template, dict):
-                return {k: graft(v, saved[k]) if k in saved else v
-                        for k, v in template.items()}
-            arr = np.asarray(saved)
-            assert arr.shape == np.asarray(template).shape, (
-                f"checkpoint shape {arr.shape} != model {np.shape(template)}")
-            return arr.astype(np.asarray(template).dtype)
-
-        return graft(params, restored)
+        restored = self._raw_restore(self._payload_path(best))["params"]
+        return self._graft(params, restored)
 
 
 def _jsonable(v):

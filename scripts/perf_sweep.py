@@ -62,7 +62,7 @@ def main(names):
             batch = jnp.asarray(batch)
 
             t0 = time.perf_counter()
-            state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg,
+            state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg,
                                                      0.15, K)
             _ = float(losses[-1])
             compile_s = time.perf_counter() - t0
@@ -70,7 +70,7 @@ def main(names):
             reps = 2
             t0 = time.perf_counter()
             for _ in range(reps):
-                state, (losses, _) = pretrain_multi_step(state, batch, rng,
+                state, (losses, *_) = pretrain_multi_step(state, batch, rng,
                                                          cfg, 0.15, K)
                 _ = float(losses[-1])
             dt = time.perf_counter() - t0

@@ -52,14 +52,14 @@ def capture():
     batch = jnp.asarray(batch)
 
     # warm / compile outside the trace
-    state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, 10)
+    state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg, 0.15, 10)
     _ = float(losses[-1])
 
     # clear stale traces: report() globs the newest xplane, and a capture
     # that produced none would silently report yesterday's profile
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     jax.profiler.start_trace(TRACE_DIR)
-    state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, 10)
+    state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg, 0.15, 10)
     _ = float(losses[-1])
     jax.profiler.stop_trace()
     print("trace captured", flush=True)

@@ -98,13 +98,13 @@ def child() -> None:
         batch[..., f] = npr.integers(0, V.TOKEN_BOUNDARY[f], (B, S))
     batch = jnp.asarray(batch)
 
-    state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
+    state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
     loss0 = float(losses[-1])   # warm + correctness probe
 
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        state, (losses, _) = pretrain_multi_step(state, batch, rng, cfg,
+        state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg,
                                                  0.15, K)
         _ = float(losses[-1])
         ts.append((time.perf_counter() - t0) / K)
