@@ -175,6 +175,31 @@ def _make_lr_fn(args, lr: float):
 # subcommands
 # ---------------------------------------------------------------------------
 
+def _run_guarded(mesh, runner, epochs: int, resume: bool) -> int:
+    """Run a training loop under a PreemptionGuard.
+
+    SIGTERM/SIGINT → the runner finishes the in-flight dispatch, writes the
+    mid-epoch safety checkpoint, and we exit EX_TEMPFAIL (75) so requeueing
+    schedulers restart the job; ``--resume`` then continues the interrupted
+    epoch (utils/preemption.py)."""
+    from flax import linen as nn
+    from .parallel.mesh import LOGICAL_RULES
+    from .utils.preemption import EXIT_PREEMPTED, Preempted, PreemptionGuard
+    guard = PreemptionGuard().install()
+    if guard is not None:
+        runner.preempt = guard
+    try:
+        with mesh, nn.logical_axis_rules(LOGICAL_RULES):
+            runner.run(epochs, resume=resume)
+    except Preempted as exc:
+        print(f"[preempt] {exc}", file=sys.stderr)
+        return EXIT_PREEMPTED
+    finally:
+        if guard is not None:
+            guard.uninstall()
+    return 0
+
+
 def cmd_pretrain(args) -> int:
     import jax
     from flax import linen as nn
@@ -241,9 +266,7 @@ def cmd_pretrain(args) -> int:
                             train_step_fn=train_step_fn,
                             eval_step_fn=eval_step_fn,
                             lr_fn=_make_lr_fn(args, args.lr))
-    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
-        runner.run(args.epochs, resume=args.resume)
-    return 0
+    return _run_guarded(mesh, runner, args.epochs, args.resume)
 
 
 def cmd_finetune(args) -> int:
@@ -303,9 +326,7 @@ def cmd_finetune(args) -> int:
                               batch_size=args.batch_size, patience=3,
                               seed=args.seed, put_batch=put_batch_fn(mesh),
                               lr_fn=_make_lr_fn(args, args.lr))
-    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
-        runner.run(args.epochs, resume=args.resume)
-    return 0
+    return _run_guarded(mesh, runner, args.epochs, args.resume)
 
 
 def cmd_finetune_generation(args) -> int:
@@ -343,9 +364,7 @@ def cmd_finetune_generation(args) -> int:
                               eval_hook=eval_hook,
                               put_batch=put_batch_fn(mesh),
                               lr_fn=_make_lr_fn(args, args.lr))
-    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
-        runner.run(args.epochs, resume=args.resume)
-    return 0
+    return _run_guarded(mesh, runner, args.epochs, args.resume)
 
 
 def cmd_ablation(args) -> int:
@@ -389,9 +408,7 @@ def cmd_ablation(args) -> int:
                               seed=args.seed, select="weighted_field_acc",
                               put_batch=put_batch_fn(mesh),
                               lr_fn=_make_lr_fn(args, args.lr))
-    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
-        runner.run(args.epochs, resume=args.resume)
-    return 0
+    return _run_guarded(mesh, runner, args.epochs, args.resume)
 
 
 def cmd_tokenize(args) -> int:

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..models.config import PianoBartConfig
 from ..utils.logging import MetricsLogger
+from ..utils.preemption import Preempted, PreemptionGuard
 from .pretrain import (batch_iterator, pretrain_eval_step,
                        pretrain_multi_step)
 from .state import CheckpointManager, TrainState, get_ema_params
@@ -48,7 +49,12 @@ class PretrainRunner:
                  checkpoint_every_dispatches: int = 0,
                  train_step_fn: Optional[Callable] = None,
                  eval_step_fn: Optional[Callable] = None,
-                 lr_fn: Optional[Callable] = None):
+                 lr_fn: Optional[Callable] = None,
+                 preempt: Optional[PreemptionGuard] = None):
+        # preempt: graceful-shutdown flag polled at dispatch boundaries;
+        # a pending request saves the mid-epoch safety checkpoint and
+        # raises Preempted (utils/preemption.py)
+        self.preempt = preempt
         # lr_fn(opt_step) -> float: host-side mirror of the optimizer's LR
         # schedule, logging only (cli._make_lr_fn builds it from the same
         # flags that built the optimizer)
@@ -134,6 +140,7 @@ class PretrainRunner:
             # actually prints, keeping dispatches async
             self.logger.step_echo(n, {"loss": ls[-1], "weighted_acc":
                                       ac[-1].mean()})
+            self._check_preempt()
 
         for batch, _ in it:
             group.append(batch)
@@ -159,6 +166,17 @@ class PretrainRunner:
         if self.lr_fn is not None:
             out["lr"] = float(self.lr_fn(int(self.state.step)))
         return out
+
+    def _check_preempt(self) -> None:
+        """Graceful shutdown: save the safety slot, then bail.  Resume
+        restarts the interrupted epoch from it (CheckpointManager.restore
+        prefers a pending safety save)."""
+        if self.preempt is not None and self.preempt.requested:
+            self.ckpt.save_safety(self.state, self._cur_epoch)
+            raise Preempted(
+                f"preempted at epoch {self._cur_epoch + 1}, optimizer step "
+                f"{int(self.state.step)}: safety checkpoint saved under "
+                f"{self.ckpt.directory}; rerun with --resume to continue")
 
     def valid_epoch(self) -> Dict[str, Any]:
         losses, accs = [], []
@@ -196,6 +214,9 @@ class PretrainRunner:
         n_tok = np.asarray(self.cfg.field_sizes, dtype=np.float64)
         for epoch in range(start_epoch, epochs):
             self._cur_epoch = epoch
+            # a signal that landed during the previous epoch's eval/save
+            # stops here, before any work of this epoch is spent
+            self._check_preempt()
             if self.bad_epochs >= self.patience:
                 self.logger.epoch_line(
                     f"valid acc not improving for {self.patience} epochs")
@@ -239,8 +260,12 @@ class SupervisedRunner:
                  select: str = "scalar_acc",
                  eval_hook: Optional[Callable] = None,
                  put_batch: Callable = jnp.asarray,
-                 lr_fn: Optional[Callable] = None):
+                 lr_fn: Optional[Callable] = None,
+                 preempt: Optional[PreemptionGuard] = None):
         self.lr_fn = lr_fn  # host-side LR mirror, logging only
+        # graceful-shutdown flag, polled per train batch (see PretrainRunner)
+        self.preempt = preempt
+        self._cur_epoch = 0
         # put_batch shards inputs/labels/weights onto the mesh's dp axis
         # (parallel.mesh.put_batch_fn) — without it a multi-chip finetune
         # replicated every batch and computed it redundantly on every chip
@@ -294,6 +319,7 @@ class SupervisedRunner:
             if train:
                 self.state, m = self.step_fn(self.state, bx, by, self.rng,
                                              train=True, weight=weight)
+                self._check_preempt()
             else:
                 # eval with the Polyak shadow when enabled; the returned
                 # state is the (possibly params-swapped) input — discard it
@@ -338,6 +364,16 @@ class SupervisedRunner:
             out["outputs"] = np.concatenate(outputs, axis=0)
         return out
 
+    def _check_preempt(self) -> None:
+        """Graceful shutdown mid-epoch: safety-save + Preempted (see
+        PretrainRunner._check_preempt; resume restarts this epoch)."""
+        if self.preempt is not None and self.preempt.requested:
+            self.ckpt.save_safety(self.state, self._cur_epoch)
+            raise Preempted(
+                f"preempted at epoch {self._cur_epoch + 1}, optimizer step "
+                f"{int(self.state.step)}: safety checkpoint saved under "
+                f"{self.ckpt.directory}; rerun with --resume to continue")
+
     def _selection_score(self, va: Dict[str, Any]) -> float:
         if self.select == "weighted_field_acc":
             n_tok = np.asarray(self.cfg.field_sizes, dtype=np.float64)
@@ -351,6 +387,9 @@ class SupervisedRunner:
             self.state, start = self.ckpt.restore(self.state)
             self.best = float(self.ckpt.meta().get("best_acc", -1.0))
         for epoch in range(start, epochs):
+            self._cur_epoch = epoch
+            # signal that landed during the previous epoch's eval/save
+            self._check_preempt()
             tr = self._epoch(self.X_train, self.y_train, train=True)
             va = self._epoch(self.X_val, self.y_val, train=False)
             te = (self._epoch(self.X_test, self.y_test, train=False,
