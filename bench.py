@@ -49,6 +49,12 @@ import os
 BATCH = int(os.environ.get("PBX_BENCH_BATCH", "32"))
 
 
+def _note(msg: str) -> None:
+    """Per-phase progress on stderr so a killed run leaves a trail."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main() -> None:
     _enable_compile_cache()
     import jax
@@ -84,8 +90,13 @@ def main() -> None:
     batch = jnp.asarray(batch)
 
     # Warmup / compile (one multi-step dispatch).
+    _note(f"warmup dispatch (B={B}, K={K}) on {dev.device_kind} ...")
+    t_warm = time.perf_counter()
     state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg, 0.15, K)
     _ = float(losses[-1])
+    t_warm = time.perf_counter() - t_warm
+    _note(f"warmup done in {t_warm:.1f} s "
+          f"({'cached executable' if t_warm < 60 else 'fresh compile'})")
 
     # MFU from an analytic FLOP count (XLA cost_analysis can't see inside
     # the pallas attention kernels, so its number is useless here):
@@ -117,6 +128,7 @@ def main() -> None:
     hw_flops_per_step = float(dense_flops + n_attn * (2 + 5) * attn_unit)
 
     reps = 2
+    _note("timing train loop ...")
     t0 = time.perf_counter()
     for _ in range(reps):
         state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg,
@@ -127,10 +139,48 @@ def main() -> None:
     toks_per_sec = steps * B * S / dt
     step_ms = dt / steps * 1e3
 
+    mfu_model = mfu_hw = None
+    peak = PEAK_BF16.get(dev.device_kind)
+    if peak:
+        mfu_model = model_flops_per_step / (dt / steps) / peak
+        mfu_hw = hw_flops_per_step / (dt / steps) / peak
+
+    def emit(decode_s=None, decode_cps=None):
+        """One JSON result line.  Called right after the train timing loop —
+        BEFORE any decode compile — so a timeout during the decode phases can
+        never erase the finished primary measurement (round-3 postmortem:
+        BENCH_r03 was rc=124/parsed=null because the single print at the end
+        died with the process)."""
+        print(json.dumps({
+            "metric": "pretrain_octuple_tokens_per_sec_per_chip",
+            "value": round(toks_per_sec, 1),
+            "unit": f"tok/s ({platform}, bf16, batch {B}, step {step_ms:.1f} ms"
+                    + (f", model MFU {mfu_model * 100:.1f}%"
+                       f" (hw {mfu_hw * 100:.1f}%)" if mfu_model else "")
+                    + (f", decode1024 {decode_s:.2f} s" if decode_s else "")
+                    + (f", decode_b16 {decode_cps:.1f} cont/s" if decode_cps
+                       else "")
+                    + ")",
+            # primary ratio: derived A100 baseline (BASELINE.md); the round-1
+            # hand-estimate ratio is printed alongside so the headline does
+            # not depend on which denominator one believes.
+            "vs_baseline": round(toks_per_sec / A100_BASELINE_TOKS, 2),
+            "baseline_toks_derived": A100_BASELINE_TOKS,
+            "vs_baseline_round1_estimate":
+                round(toks_per_sec / A100_BASELINE_TOKS_R1, 2),
+        }), flush=True)
+
+    emit()  # primary metric is now safe on stdout
+    _note(f"train: {toks_per_sec:.1f} tok/s, {step_ms:.1f} ms/step")
+    if os.environ.get("PBX_BENCH_SKIP_DECODE", "0") == "1":
+        _note("PBX_BENCH_SKIP_DECODE=1: done")
+        return
+
     # Secondary: batch-1 decode latency for a full 1024-token intro.
     decode_s = None
     try:
         from pianobart_tpu.decode import generate
+        _note("decode bench (B=1) ...")
         intro = jnp.asarray(batch[:1])
         params = {"params": state.params}
         # force_full: all 1024 decode steps run (random weights would
@@ -151,6 +201,7 @@ def main() -> None:
     decode_cps = None
     try:
         from pianobart_tpu.decode import generate
+        _note("decode bench (B=16) ...")
         introB = jnp.asarray(batch[:16])
         params = {"params": state.params}
         out = generate(params, introB, cfg=cfg, max_steps=S, force_full=True)
@@ -165,30 +216,10 @@ def main() -> None:
     except Exception as exc:
         print(f"batched decode bench failed: {exc}", file=sys.stderr)
 
-    mfu_model = mfu_hw = None
-    peak = PEAK_BF16.get(dev.device_kind)
-    if peak:
-        mfu_model = model_flops_per_step / (dt / steps) / peak
-        mfu_hw = hw_flops_per_step / (dt / steps) / peak
-
-    print(json.dumps({
-        "metric": "pretrain_octuple_tokens_per_sec_per_chip",
-        "value": round(toks_per_sec, 1),
-        "unit": f"tok/s ({platform}, bf16, batch {B}, step {step_ms:.1f} ms"
-                + (f", model MFU {mfu_model * 100:.1f}%"
-                   f" (hw {mfu_hw * 100:.1f}%)" if mfu_model else "")
-                + (f", decode1024 {decode_s:.2f} s" if decode_s else "")
-                + (f", decode_b16 {decode_cps:.1f} cont/s" if decode_cps
-                   else "")
-                + ")",
-        # primary ratio: derived A100 baseline (BASELINE.md); the round-1
-        # hand-estimate ratio is printed alongside so the headline does not
-        # depend on which denominator one believes.
-        "vs_baseline": round(toks_per_sec / A100_BASELINE_TOKS, 2),
-        "baseline_toks_derived": A100_BASELINE_TOKS,
-        "vs_baseline_round1_estimate":
-            round(toks_per_sec / A100_BASELINE_TOKS_R1, 2),
-    }))
+    # Re-emit the same primary metric enriched with the decode extras: a
+    # driver that parses the LAST JSON line gets the full picture, one that
+    # parses the FIRST (or killed us mid-decode) still has the train number.
+    emit(decode_s=decode_s, decode_cps=decode_cps)
 
 
 if __name__ == "__main__":
