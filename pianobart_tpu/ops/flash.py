@@ -15,22 +15,13 @@ full train step (measured via xprof); this layout has zero transposes
 anywhere on the attention path.  Row statistics (lse) live as ``(B, H, S)``.
 
 MXU operands are upcast to f32 (accumulation f32 via
-``preferred_element_type``).  A bf16-operand variant (``PBX_FLASH_BF16=1``)
-was measured SLOWER on v5e — these kernels are VPU-bound, and the extra
-(S, S) cast passes cost more than the MXU passes they save (attn fwd+bwd
-11.0 vs 8.6 ms/module at B=32, S=1024).  ``PBX_FLASH_MIXED=1`` feeds the
-MXU bf16 only on the two dots whose operands are HBM-natural bf16
-(S = Q·Kᵀ, dP = dO·Vᵀ) — no new casts, fewer f32 decomposition passes,
-numerically equivalent (bf16-valued products are exact under f32
-accumulation either way).  ``PBX_FLASH_SCOREPREC=default`` targets the
-same two dots with ``precision=DEFAULT`` while keeping every operand
-dtype uniformly f32 — same single-bf16-pass lowering, but no mixed-dtype
-dots in the program (the suspected trigger of the remote compiler's
-MIXED pathology); ``=all`` extends DEFAULT precision to all seven dots
-(P/dS truncate to bf16 inside the MXU, no cast passes — the standard
-FlashAttention approximation).  Measured on v5e, the H-in-lanes
-layout beats the transpose-based one 2.82 vs 3.52 ms/module forward and
-407.7 vs 424.0 ms on the full-model fwd+bwd probe (scripts/perf_probe.py).
+``preferred_element_type``).  The round-3 operand-dtype experiments
+(full-bf16 / mixed / precision=DEFAULT score dots) are all settled
+negatives or no-ops and their env flags have been removed — see the
+tombstone comment above the module constants below.  Measured on v5e, the
+H-in-lanes layout beats the transpose-based one 2.82 vs 3.52 ms/module
+forward and 407.7 vs 424.0 ms on the full-model fwd+bwd probe
+(scripts/perf_probe.py).
 
 Backward follows the FlashAttention-2 recipe.  When the whole sequence fits
 one block per grid step (the flagship S=1024 workload and ring shards) a
@@ -52,7 +43,6 @@ do not rely on their values.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -61,69 +51,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# MXU operand dtype experiments: by default score/grad matmul operands are
-# upcast to f32 (accumulation is f32 either way).  PBX_FLASH_BF16=1 keeps
-# ALL operands in the model dtype (bf16 under training) — measured SLOWER
-# on v5e (the extra (S,S) casts of the f32 softmax/dS intermediates cost
-# more than the MXU passes they save), kept as a switch for re-evaluation.
-# PBX_FLASH_MIXED=1 is the surgical middle ground: only the two dots whose
-# operands are ALREADY bf16 in HBM (S = Q·Kᵀ and dP = dO·Vᵀ) feed the MXU
-# in bf16 — zero new cast passes (it even drops today's (S,D) upcasts),
-# while every dot touching the f32 (S,S) P/dS intermediates stays f32.
-# For bf16-valued inputs the products are exact in f32 accumulation either
-# way, so the mixed path is numerically equivalent to the default.
-# PBX_FLASH_SCOREPREC=default targets the same two dots as MIXED from the
-# opposite direction: operand DTYPES stay uniformly f32 (no mixed-dtype
-# dots anywhere in the kernel — the property suspected of tripping the
-# remote compiler's >55 min pathology on the MIXED program), but the dots
-# carry ``precision=DEFAULT`` so Mosaic lowers them as ONE bf16 MXU pass
-# instead of the multi-pass f32 decomposition.  For bf16-valued operands
-# (the training path: q/k/do enter the kernel as bf16 and the f32 upcast
-# is exact) the truncation back to bf16 is lossless, so this is
-# numerically identical to MIXED.
-# PBX_FLASH_SCOREPREC=all goes one tier further: precision=DEFAULT on ALL
-# seven dots, including the ones whose LHS is an f32 (S,S) intermediate
-# (P·V, dS·K, Pᵀ·dO, dSᵀ·Q).
-# SETTLED (scripts/scoreprec_tpu_check.py): BOTH modes are bitwise
-# no-ops on TPU.  jax's config default matmul precision is already
-# Precision.DEFAULT outside the CPU test conftest, and it applies to
-# dots inside pallas kernels — the committed f32 dots were ALREADY
-# single bf16 MXU passes with P/dS truncated in the MXU pipeline.
-# The flags remain only as documentation of the measurement.
-# Read ONCE at import: reading inside the kernel would make the flags a
-# silent no-op after the first jit compile (env is not a jit cache key).
-_BF16_OPERANDS = os.environ.get("PBX_FLASH_BF16", "0") == "1"
-_MIXED_OPERANDS = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
-                   and not _BF16_OPERANDS)
-_SCORE_PREC = (os.environ.get("PBX_FLASH_SCOREPREC", "")
-               if not (_BF16_OPERANDS or _MIXED_OPERANDS) else "")
-_SCORE_PREC_DEFAULT = _SCORE_PREC in ("default", "all")
-_ALL_PREC_DEFAULT = _SCORE_PREC == "all"
-
-
-_warned_flag_freeze = False
-
-
-def _check_bf16_flag_freeze() -> None:
-    """Warn once if an operand-dtype flag changed after import (frozen)."""
-    global _warned_flag_freeze
-    now_bf16 = os.environ.get("PBX_FLASH_BF16", "0") == "1"
-    now_mixed = (os.environ.get("PBX_FLASH_MIXED", "0") == "1"
-                 and not now_bf16)
-    now_prec = (os.environ.get("PBX_FLASH_SCOREPREC", "")
-                if not (now_bf16 or now_mixed) else "")
-    if ((now_bf16 != _BF16_OPERANDS or now_mixed != _MIXED_OPERANDS
-         or now_prec != _SCORE_PREC) and not _warned_flag_freeze):
-        _warned_flag_freeze = True
-        import warnings
-        warnings.warn(
-            f"PBX_FLASH_BF16={int(now_bf16)}/PBX_FLASH_MIXED={int(now_mixed)}"
-            f"/PBX_FLASH_SCOREPREC={now_prec!r}"
-            f" set after pianobart_tpu.ops.flash was imported; the flags are"
-            f" frozen at import time (bf16={_BF16_OPERANDS},"
-            f" mixed={_MIXED_OPERANDS}, scoreprec={_SCORE_PREC!r})."
-            f" Set them before the first import.",
-            stacklevel=3)
+# TOMBSTONE — MXU operand-dtype experiments (round 3, full story in
+# ROADMAP.md §3 and scripts/scoreprec_tpu_check.py).  The whole
+# BF16 / MIXED / SCOREPREC lever family is dead and the env flags that
+# used to drive it (PBX_FLASH_BF16 / PBX_FLASH_MIXED / PBX_FLASH_SCOREPREC)
+# are deliberately NOT read anymore:
+#   * full-bf16 operands: measured SLOWER on v5e (kernels are VPU-bound;
+#     the extra (S,S) cast passes cost more than the MXU passes saved —
+#     attn fwd+bwd 11.0 vs 8.6 ms/module at B=32, S=1024);
+#   * MIXED (bf16 only for the HBM-natural Q·Kᵀ / dO·Vᵀ dots):
+#     compile-PATHOLOGICAL on the shared serial remote compile helper
+#     (>55 min, wedging every subsequent compile on the machine) — this is
+#     why the flag is quarantined rather than merely documented;
+#   * SCOREPREC default/all: proven a BITWISE NO-OP on chip — jax's
+#     default matmul precision is already Precision.DEFAULT on TPU and
+#     applies inside pallas, so the committed f32 dots were always single
+#     bf16 MXU passes with P/dS truncated in the MXU pipeline.
+# The module globals below are retained (as constants) only so the
+# numerics tests in tests/test_flash.py can monkeypatch the alternate
+# operand paths and pin their equivalence to the committed path.
+_BF16_OPERANDS = False
+_MIXED_OPERANDS = False
+_SCORE_PREC = ""
+_SCORE_PREC_DEFAULT = False
+_ALL_PREC_DEFAULT = False
 
 
 def _mxu_in(x):
@@ -274,7 +225,6 @@ def _fwd(q, k, v, kv_mask, causal, block_q, block_kv):
     Accepts (B, S, H, D); returns ``out (B, Sq, H*D)``, ``lse (B, H, Sq)``
     and the flat residuals — no transposes, only free reshapes.
     """
-    _check_bf16_flag_freeze()
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     block_q = _resolve(block_q, _FWD_BLOCK, Sq)

@@ -1,4 +1,10 @@
-"""TPU numerics check for the PBX_FLASH_SCOREPREC flash-kernel variants.
+"""TPU numerics check for the (retired) SCOREPREC flash-kernel variants.
+
+HISTORICAL (round 3→4): this measurement SETTLED the lever — both modes
+are bitwise no-ops on chip — and the PBX_FLASH_SCOREPREC env flag was
+subsequently removed from ops/flash.py.  The script now flips the module
+constants directly in each child so the measurement stays reproducible.
+
 
 CPU tests (tests/test_flash.py::test_scoreprec_switch) pin both modes
 bitwise to the committed path — but only because CPU executes f32 dots
@@ -46,9 +52,12 @@ def child(mode: str) -> None:
 
     if os.environ.get("PBX_CHECK_ALLOW_CPU", "0") != "1":
         assert jax.default_backend() == "tpu", jax.default_backend()
-    assert flash_mod._SCORE_PREC == mode, (
-        f"flag plumbing broken: env gave {flash_mod._SCORE_PREC!r}, "
-        f"wanted {mode!r}")
+    # Round 4: the PBX_FLASH_SCOREPREC env flag was removed from
+    # ops/flash.py (lever settled as a bitwise no-op on chip); to re-run
+    # this historical measurement, flip the module constants directly.
+    flash_mod._SCORE_PREC = mode
+    flash_mod._SCORE_PREC_DEFAULT = mode in ("default", "all")
+    flash_mod._ALL_PREC_DEFAULT = mode == "all"
 
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
     q = (jax.random.normal(k1, (B, S, H, D), jnp.float32) * 0.3

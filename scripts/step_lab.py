@@ -34,21 +34,12 @@ VARIANTS = {
     "legacy":    {"PBX_FFN_2D": "0", "PBX_EMB_ONEHOT_BWD": "0"},
     "dropln":    {"PBX_FUSED_DROPLN": "1"},
     "qkv":       {"PBX_QKV_FUSED": "1"},
-    # bf16 MXU operands ONLY for the QKᵀ / dO·Vᵀ dots inside the flash
-    # kernels (both sides HBM-natural bf16 — zero cast passes added).
-    # SETTLED 2026-08-17: compile-pathological on the remote XLA helper
-    # (>55 min vs base's cached compile + 408.7 ms measurement in the
-    # same sweep) — keep PBX_FLASH_MIXED off; see ROADMAP.md §3.
-    "mixed":     {"PBX_FLASH_MIXED": "1"},
-    # Same two dots, opposite mechanism: uniform f32 operand dtypes with
-    # precision=DEFAULT (one bf16 MXU pass).  No mixed-dtype dots in the
-    # program — the compile-pathology dodge for "mixed".
-    "scoreprec": {"PBX_FLASH_SCOREPREC": "default"},
-    # precision=DEFAULT on ALL seven attention dots: P/dS truncate to
-    # bf16 inside the MXU (no cast passes — the standard FlashAttention
-    # approximation).  Compare its loss trace against base before
-    # adopting: unlike "scoreprec" this is NOT bit-identical.
-    "scoreprec_all": {"PBX_FLASH_SCOREPREC": "all"},
+    # TOMBSTONE: the "mixed" / "scoreprec" / "scoreprec_all" flash
+    # operand-dtype variants were removed in round 4.  MIXED was
+    # compile-pathological on the shared serial remote helper (>55 min,
+    # wedging every later compile); SCOREPREC was proven a bitwise no-op
+    # on chip (scripts/scoreprec_tpu_check.py).  ops/flash.py no longer
+    # reads the PBX_FLASH_* env flags — see its tombstone + ROADMAP.md §3.
 }
 
 
