@@ -127,17 +127,26 @@ def main() -> None:
     model_flops_per_step = float(dense_flops + n_attn * (2 + 4) * attn_unit)
     hw_flops_per_step = float(dense_flops + n_attn * (2 + 5) * attn_unit)
 
-    reps = 2
-    _note("timing train loop ...")
-    t0 = time.perf_counter()
+    # Median of `reps` K-step dispatches (each timed dispatch ends with one
+    # host sync).  Median — the same methodology as scripts/step_lab.py —
+    # because through the remote-TPU tunnel individual dispatch round trips
+    # occasionally straggle by 1-2%; a 2-dispatch MEAN measured 414 ms on
+    # the same chip whose median-of-5 is a stable 409 ms.
+    reps = int(os.environ.get("PBX_BENCH_REPS", "5"))
+    _note(f"timing train loop ({reps} dispatches x {K} steps) ...")
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg,
                                                  0.15, K)
         _ = float(losses[-1])  # host sync each dispatch
-    dt = time.perf_counter() - t0
-    steps = reps * K
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # per-dispatch median
+    steps = K
     toks_per_sec = steps * B * S / dt
     step_ms = dt / steps * 1e3
+    _note("dispatch ms/step: "
+          + ", ".join(f"{t / K * 1e3:.1f}" for t in times))
 
     mfu_model = mfu_hw = None
     peak = PEAK_BF16.get(dev.device_kind)
@@ -154,7 +163,9 @@ def main() -> None:
         print(json.dumps({
             "metric": "pretrain_octuple_tokens_per_sec_per_chip",
             "value": round(toks_per_sec, 1),
-            "unit": f"tok/s ({platform}, bf16, batch {B}, step {step_ms:.1f} ms"
+            "unit": f"tok/s ({platform}, bf16, batch {B}, "
+                    f"step {step_ms:.1f} ms median of {reps}x{K}-step "
+                    f"dispatches"
                     + (f", model MFU {mfu_model * 100:.1f}%"
                        f" (hw {mfu_hw * 100:.1f}%)" if mfu_model else "")
                     + (f", decode1024 {decode_s:.2f} s" if decode_s else "")
