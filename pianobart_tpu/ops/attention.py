@@ -63,12 +63,56 @@ def _xla_attention(q, k, v, kv_mask, causal, bias, dropout_rate,
 
 
 def _flash_eligible(q, k, bias) -> bool:
-    if jax.default_backend() != "tpu" or bias is not None:
+    if bias is not None:
+        return False
+    if (jax.default_backend() != "tpu"
+            and os.environ.get("PBX_FLASH_INTERPRET", "0") != "1"):
+        # PBX_FLASH_INTERPRET=1 lets CPU dryruns/tests exercise the pallas
+        # kernels (interpret mode) under real mesh shardings — a test lever,
+        # not a perf lever (ops/flash.py auto-interprets off-TPU).
         return False
     # kernel tiling: sequence blocks of 128+, lane-aligned head dim
     return (q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0
             and q.shape[3] % 128 == 0 and q.shape[1] >= 256
             and k.shape[1] >= 256)
+
+
+def _ambient_mesh():
+    """The concrete mesh installed by ``with mesh:`` around the jitted
+    trainers (trace-time read; empty mesh -> None)."""
+    try:
+        from jax._src.mesh import thread_resources
+        m = thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def _flash_shard_specs(mesh, q_shape, kv_mask):
+    """shard_map specs placing batch on ``dp`` and heads on ``tp``.
+
+    XLA's SPMD partitioner cannot partition an opaque Mosaic custom call:
+    under pjit a pallas kernel with dp/tp-sharded operands would be
+    rescued only by full replication (an all-gather of every attention
+    input — silently losing the sharding).  Production flash therefore
+    rides ``shard_map``: each device runs the kernel on its local
+    (B/dp, S, H/tp, D) block, which is exactly how the ring path already
+    executes it (ops/ring.py).  Returns None when the wrap is unnecessary
+    (single-device mesh) or impossible (indivisible B or H).
+    """
+    from jax.sharding import PartitionSpec as P
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    if dp * tp == 1:
+        return None
+    B, _, H, _ = q_shape
+    dp_ax = "dp" if dp > 1 and B % dp == 0 else None
+    tp_ax = "tp" if tp > 1 and H % tp == 0 else None
+    if dp_ax is None and tp_ax is None:
+        return None
+    qkv = P(dp_ax, None, tp_ax, None)
+    mask = P(dp_ax, None) if kv_mask is not None else None
+    return qkv, mask
 
 
 def _flash(q, k, v, kv_mask, causal):
@@ -109,6 +153,24 @@ def dot_product_attention(
     if (use_flash and (dropout_rate == 0.0 or deterministic)
             and _flash_eligible(q, k, bias)):
         try:
+            mesh = _ambient_mesh()
+            specs = (_flash_shard_specs(mesh, q.shape, kv_mask)
+                     if mesh is not None else None)
+            if specs is not None:
+                # Production flash under a dp/tp mesh: shard_map places the
+                # kernel per-device (batch on dp, heads on tp) — see
+                # _flash_shard_specs.  No collectives inside, so grads
+                # through the kernel's custom VJP stay shard-local.
+                qkv_s, mask_s = specs
+                if kv_mask is None:
+                    return jax.shard_map(
+                        lambda q_, k_, v_: _flash(q_, k_, v_, None, causal),
+                        mesh=mesh, in_specs=(qkv_s,) * 3, out_specs=qkv_s,
+                        check_vma=False)(q, k, v)
+                return jax.shard_map(
+                    lambda q_, k_, v_, m_: _flash(q_, k_, v_, m_, causal),
+                    mesh=mesh, in_specs=(qkv_s, qkv_s, qkv_s, mask_s),
+                    out_specs=qkv_s, check_vma=False)(q, k, v, kv_mask)
             return _flash(q, k, v, kv_mask, causal)
         except NotImplementedError:
             pass
