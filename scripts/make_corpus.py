@@ -286,7 +286,13 @@ STYLES = {
 }
 
 
-def procedural_song(rng, style_name: str, n_bars: int) -> MidiFile:
+def procedural_song(rng, style_name: str, n_bars: int,
+                    quadrant: int | None = None) -> MidiFile:
+    """``quadrant`` (1-4) pins mode+initial tempo to that Russell quadrant
+    (see :func:`emotion_quadrant`) so the corpus can balance emotion
+    classes — an unbalanced draw left the round-3 test split with an n=2
+    class (verdict weak #5).  None keeps the style's natural distribution.
+    """
     acc_style, (t_lo, t_hi), minor_p, sigs, reg = STYLES[style_name]
     root = int(rng.integers(48, 60))
     scale = MINOR if rng.random() < minor_p else MAJOR
@@ -295,6 +301,12 @@ def procedural_song(rng, style_name: str, n_bars: int) -> MidiFile:
     num, den = sigs[int(rng.integers(0, len(sigs)))]
     beats_per_bar = num * 4 / den
     tempo = float(rng.integers(t_lo, t_hi + 1))
+    if quadrant is not None:
+        scale = MINOR if quadrant in (2, 3) else MAJOR
+        if quadrant in (1, 2):   # high arousal: initial tempo >= 90
+            tempo = float(rng.integers(max(t_lo, 90), max(t_hi, 96) + 1))
+        else:                    # low arousal: initial tempo < 90
+            tempo = float(rng.integers(min(t_lo, 56), 90))
 
     m = MidiFile(ticks_per_beat=TPB)
     m.tempo_changes = [TempoChange(tempo, 0)]
@@ -383,9 +395,11 @@ def make_corpus(out_dir: str, n_files: int = 160, seed: int = 2024):
         put("Beethoven", ode_to_joy(rng, variations=2 + i % 3), f"ode_{i}")
         put("Beethoven", fur_elise(rng), f"elise_{i}", minor=True)  # A minor
 
-    # procedural composers
+    # procedural composers; cycle the target quadrant so the emotion task
+    # sees ~balanced classes (round-3 verdict weak #5: n=2 test class)
     styles = list(STYLES)
     per_style = max(1, (n_files - count - 6) // len(styles))
+    q_cycle = 0
     for style in styles:
         for i in range(per_style):
             if i == 0 and style == "Etude":
@@ -395,7 +409,9 @@ def make_corpus(out_dir: str, n_files: int = 160, seed: int = 2024):
                 n_bars = int(rng.integers(260, 300))
             else:
                 n_bars = int(rng.integers(16, 120))
-            m = procedural_song(rng, style, n_bars)
+            q_cycle += 1
+            m = procedural_song(rng, style, n_bars,
+                                quadrant=(q_cycle % 4) + 1)
             put(style, m, f"{style.lower()}_{i}", minor=m.is_minor)
 
     # duplicates (dedup path) and corrupt files (error tolerance)

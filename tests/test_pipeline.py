@@ -87,6 +87,44 @@ def test_generate_pipeline(midi_dir, tmp_path, rng):
     assert check_finetune(X, y, "generate").ok
 
 
+def test_stratified_split_every_class_reaches_test():
+    """Round-3 verdict weak #5: an unstratified shuffle left a 2-sample
+    test class.  Per-label 80/10/10 must put every class with >=2 files
+    into test, >=3 into valid, and keep singleton classes in train."""
+    import random
+
+    from pianobart_tpu.tokenizer.pipeline import _stratified_split
+
+    files = ([(f"Q1_{i}.mid", b"") for i in range(40)]
+             + [(f"Q2_{i}.mid", b"") for i in range(10)]
+             + [(f"Q3_{i}.mid", b"") for i in range(3)]
+             + [(f"Q4_{i}.mid", b"") for i in range(2)]
+             + [("unlabeled.mid", b"")])
+    splits = _stratified_split(files, emotion_from_path, random.Random(0))
+    assert sum(len(v) for v in splits.values()) == len(files)
+
+    def classes(part):
+        return {emotion_from_path(p) for p, _ in splits[part]}
+
+    assert classes("test") == {0, 1, 2, 3}
+    assert {0, 1, 2} <= classes("valid")
+    assert None in classes("train")
+    # proportions hold for the large class: 40 -> 32/4/4
+    q1 = [p for p, _ in splits["train"] if emotion_from_path(p) == 0]
+    assert len(q1) == 32
+
+
+def test_composer_split_stratified(midi_dir, tmp_path):
+    """Both composers (6 files each) appear in every split."""
+    out = run_dataset_pipeline(midi_dir, task="composer",
+                               out_root=str(tmp_path / "o"), log=lambda *_: 0)
+    with open(out["composer_map"]) as f:
+        cmap = json.load(f)
+    for split in ("train", "valid", "test"):
+        y = np.load(out[f"{split}_ans"])
+        assert set(np.unique(y)) == set(cmap.values()), split
+
+
 def test_label_helpers():
     assert composer_from_path("Bach/fugue.mid") == "Bach"
     assert composer_from_path("Pianist8/midi/Hancock/a_b.mid") == "Hancock"
