@@ -10,6 +10,7 @@ import jax
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     sys.path.insert(0, "/root/repo")
     try:

@@ -61,6 +61,7 @@ def test_ring_gradients_match_full(causal):
                                    err_msg=f"d{name} (causal={causal})")
 
 
+@pytest.mark.slow
 def test_encoder_sp_matches_dense():
     """PianoBart encoder under shard_map + ring attention == dense encoder."""
     from flax import linen as nn

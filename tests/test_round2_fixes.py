@@ -134,6 +134,7 @@ def test_zero_weight_padding_is_exact(rng):
 # sp train step applies dropout
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_sp_train_step_applies_dropout(rng):
     from pianobart_tpu.parallel.mesh import make_mesh
     from pianobart_tpu.train.pretrain_sp import make_sp_pretrain_step

@@ -44,7 +44,11 @@ def loss_fn(model, cfg):
     return f
 
 
-@pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2), (1, 4, 2)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 2, 2),  # the composed dp*tp*sp shape stays in the default suite
+    pytest.param((8, 1, 1), marks=pytest.mark.slow),
+    pytest.param((1, 4, 2), marks=pytest.mark.slow),
+])
 def test_loss_and_grads_match_across_meshes(setup, mesh_shape):
     cfg, model, variables, batch = setup
     f = loss_fn(model, cfg)

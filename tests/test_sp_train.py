@@ -14,6 +14,7 @@ from pianobart_tpu.train.pretrain_sp import make_sp_pretrain_step
 from pianobart_tpu.train.state import TrainState, make_optimizer
 
 
+@pytest.mark.slow
 def test_sp_train_step_matches_dense(rng):
     S = 128
     base = tiny_config(max_len=S, d_model=128, num_heads=1, emb_size=16,
@@ -72,6 +73,7 @@ def test_sp_train_step_matches_dense(rng):
     np.testing.assert_allclose(flat_s, flat_d, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_sp_composed_train_step_matches_dense(rng):
     """TP∘SP: head-sharded tensor parallelism INSIDE the ring shard_map
     (cfg.ring_tp_axis) must reproduce the dense step's loss and gradients —
@@ -132,6 +134,7 @@ def test_tp_sp_composed_train_step_matches_dense(rng):
     np.testing.assert_allclose(flat_s, flat_d, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_longer_than_max_len_runs(rng):
     """Sequences of n_sp * local_len flow through weights sized for
     local_len (positional table covers max_len per shard)."""
@@ -156,6 +159,7 @@ def test_sp_longer_than_max_len_runs(rng):
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_sp_eval_step_matches_dense_eval(rng):
     """make_sp_eval_step == pretrain_eval_step (loss + per-field accs) for
     the same corruption rng on a dp×sp mesh, incl. zero-weighted tail rows."""
