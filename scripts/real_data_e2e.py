@@ -152,6 +152,29 @@ def main():
                       "--ckpt", "result/pretrain/realdata/best"], cwd=work)
     ft = read_epochs(ft_jsonl)
 
+    # 3a. flagship-scale behavioral interop: the UNMODIFIED reference
+    # trainer must reproduce the trained composer checkpoint's metrics
+    # (round-3 verdict item 4).  CPU-only subprocess — the TPU stays free.
+    interop_md = os.path.join(work, "interop_report.md")
+    interop_s = 0.0
+    if not os.path.exists(interop_md):
+        print("+ scripts/ref_interop_check.py (CPU)", flush=True)
+        e = dict(os.environ)
+        e["PYTHONPATH"] = REPO + ":" + e.get("PYTHONPATH", "")
+        e["PALLAS_AXON_POOL_IPS"] = ""  # never register the TPU
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "ref_interop_check.py"), work],
+            env=e, capture_output=True, text=True)
+        interop_s = time.time() - t0
+        if r.returncode != 0:
+            print(r.stdout[-4000:])
+            print(r.stderr[-4000:])
+            raise SystemExit("ref_interop_check failed")
+    with open(interop_md) as f:
+        interop_lines = f.read().rstrip("\n").split("\n")
+
     # 3b. generation finetune (+FAD) from the pretrain checkpoint
     if not os.path.exists(os.path.join(
             work, "Data/output_generate/corpus/corpus_train.npy")):
@@ -270,7 +293,7 @@ def main():
 
     # ---- RESULTS.md ----
     lines = [
-        "# Real-data end-to-end results (round 3)",
+        "# Real-data end-to-end results (round 4, stratified splits)",
         "",
         "No network egress: POP909/Pianist8/EMOPIA are unreachable, so the",
         "corpus is `scripts/make_corpus.py` — programmatic public-domain",
@@ -326,6 +349,9 @@ def main():
     lines += acc_table(
         f"Composer finetune ({n_cls}-way classification)", ft,
         label_stats(work, "Data/output_composer/corpus", "corpus"))
+    lines += ["", *interop_lines,
+              f"(interop check ran in {dur(interop_s)})"
+              if interop_s else ""]
     lines += [
         "",
         f"## Generation finetune ({epochs_gen} epochs, field-weighted CE + FAD)",

@@ -1,0 +1,73 @@
+"""Smoke test for scripts/ref_interop_check.py (flagship-scale behavioral
+interop, round-3 verdict item 4) at tiny dims.
+
+Builds a fake real_data_e2e work dir (tiny composer splits + a saved
+finetune checkpoint), runs the script as a subprocess with
+``PBX_INTEROP_CFG`` shrinking the model, and demands the reference-computed
+metrics match ours (the script exits non-zero on mismatch)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "model.py")),
+    reason="reference absent")
+
+TINY = {"emb_size": 256, "d_model": 64, "encoder_layers": 2,
+        "decoder_layers": 2, "ffn_dim": 128, "num_heads": 4}
+
+
+def _octuple_batch(rng, n, S):
+    from pianobart_tpu import vocab as V
+    X = np.stack([rng.integers(0, s - 3, size=(n, S)) for s in V.FIELD_SIZES],
+                 axis=-1).astype(np.int64)
+    for i in range(0, n, 3):  # varied attention masks
+        X[i, S - 4:, :] = np.asarray(V.PAD)
+    return X
+
+
+def test_interop_script_tiny(tmp_path):
+    from pianobart_tpu.models import PianoBartConfig, SequenceClassification
+    from pianobart_tpu.train.state import CheckpointManager, create_train_state
+
+    S, n_cls = 32, 4
+    rng = np.random.default_rng(7)
+    work = tmp_path / "work"
+    root = work / "Data/output_composer/corpus"
+    root.mkdir(parents=True)
+    for split, n in (("valid", 11), ("test", 13)):  # non-multiples of B=8
+        np.save(root / f"corpus_{split}.npy", _octuple_batch(rng, n, S))
+        np.save(root / f"corpus_{split}_ans.npy",
+                rng.integers(0, n_cls, size=n).astype(np.int64))
+    with open(root / "corpus_composer.json", "w") as f:
+        json.dump({f"c{i}": i for i in range(n_cls)}, f)
+
+    cfg = PianoBartConfig(dropout=0.0, use_flash_attention=False, max_len=S,
+                          **TINY)
+    model = SequenceClassification(cfg, class_num=n_cls)
+    # seed 1: the script asserts restore != its own PRNGKey(0) template
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(1),
+        (jnp.zeros((2, S, 8), jnp.int32), jnp.ones((2, S))))
+    mgr = CheckpointManager(str(work / "result/finetune/composer_realdata"))
+    mgr.save(1, state, {"weighted_acc": 0.5}, is_best=True)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PBX_INTEROP_CFG"] = json.dumps(TINY)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/ref_interop_check.py"),
+         str(work)], env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    report = (work / "interop_report.md").read_text()
+    assert report.count("| yes |") == 2, report
