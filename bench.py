@@ -20,7 +20,14 @@ unmodified ``Pretrainer.gen_mask``/shift loop, pretrain.py:131-144), a
 -> 1.48 s/step = 11,090 tok/s/chip.  Round 1's hand-waved 18k estimate
 was ~60% generous to the reference; both appear in BASELINE.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the primary JSON metric line {"metric", "value", "unit",
+"vs_baseline"} right after the train timing loop (so a kill during the
+decode phases can never erase it — BENCH_r03 postmortem), then re-prints
+the SAME metric enriched with the decode extras and ``"final": true``
+once the decode benches finish.  Parse the LAST line for the full
+picture, the FIRST for the train number alone; both carry the same
+"metric"/"value".  ``PBX_BENCH_SKIP_DECODE=1`` stops after the primary
+line.
 """
 from __future__ import annotations
 
@@ -98,34 +105,11 @@ def main() -> None:
     _note(f"warmup done in {t_warm:.1f} s "
           f"({'cached executable' if t_warm < 60 else 'fresh compile'})")
 
-    # MFU from an analytic FLOP count (XLA cost_analysis can't see inside
-    # the pallas attention kernels, so its number is useless here):
-    # * dense matmuls: 6 * tokens * sum(kernel param sizes) for fwd+bwd;
-    # * attention, two conventions reported separately:
-    #   - MODEL FLOPs (comparable to published MFU figures): 2 fwd + 4 bwd
-    #     block matmuls of 2*B*S^2*d_model each;
-    #   - HARDWARE FLOPs: 2 fwd + 5 bwd — FlashAttention recomputes the
-    #     score matmul in the backward (ops/flash.py), so the chip really
-    #     executes 7.
-    PEAK_BF16 = {"TPU v4": 275e12, "TPU v5 lite": 197e12,
-                 "TPU v5": 459e12, "TPU v5e": 197e12, "TPU v5p": 459e12,
-                 "TPU v6 lite": 918e12, "TPU v6e": 918e12}
-    # exclude gather tables from matmul-param FLOPs: the positional
-    # embeddings (named 'embedding') AND the fused octuple table (named
-    # 'table', models/embedding.py) — its forward is a gather; counting it
-    # inflated MFU ~0.2% (round-3 review)
-    n_matmul_params = sum(
-        int(np.prod(p.shape)) for path, p in
-        jax.tree_util.tree_flatten_with_path(state.params)[0]
-        if p.ndim >= 2
-        and "embedding" not in str(path[-1]).lower()
-        and "table" not in str(path[-1]).lower())
-    tokens = B * S
-    dense_flops = 6 * tokens * n_matmul_params
-    n_attn = cfg.encoder_layers + 2 * cfg.decoder_layers
-    attn_unit = 2 * B * S * S * cfg.d_model
-    model_flops_per_step = float(dense_flops + n_attn * (2 + 4) * attn_unit)
-    hw_flops_per_step = float(dense_flops + n_attn * (2 + 5) * attn_unit)
+    # Analytic-FLOP MFU (model + hardware conventions): see
+    # pianobart_tpu/utils/flops.py — shared with scripts/longctx_tpu_check.py.
+    from pianobart_tpu.utils.flops import device_peak_flops, pretrain_step_flops
+    model_flops_per_step, hw_flops_per_step = pretrain_step_flops(
+        state.params, cfg, B, S)
 
     # Median of `reps` K-step dispatches (each timed dispatch ends with one
     # host sync).  Median — the same methodology as scripts/step_lab.py —
@@ -149,17 +133,18 @@ def main() -> None:
           + ", ".join(f"{t / K * 1e3:.1f}" for t in times))
 
     mfu_model = mfu_hw = None
-    peak = PEAK_BF16.get(dev.device_kind)
+    peak = device_peak_flops(dev)
     if peak:
         mfu_model = model_flops_per_step / (dt / steps) / peak
         mfu_hw = hw_flops_per_step / (dt / steps) / peak
 
-    def emit(decode_s=None, decode_cps=None):
+    def emit(decode_s=None, decode_cps=None, final=False):
         """One JSON result line.  Called right after the train timing loop —
         BEFORE any decode compile — so a timeout during the decode phases can
         never erase the finished primary measurement (round-3 postmortem:
         BENCH_r03 was rc=124/parsed=null because the single print at the end
-        died with the process)."""
+        died with the process).  The enriched re-print carries
+        ``"final": true`` so consumers can tell the two apart."""
         print(json.dumps({
             "metric": "pretrain_octuple_tokens_per_sec_per_chip",
             "value": round(toks_per_sec, 1),
@@ -179,6 +164,7 @@ def main() -> None:
             "baseline_toks_derived": A100_BASELINE_TOKS,
             "vs_baseline_round1_estimate":
                 round(toks_per_sec / A100_BASELINE_TOKS_R1, 2),
+            **({"final": True} if final else {}),
         }), flush=True)
 
     emit()  # primary metric is now safe on stdout
@@ -230,7 +216,7 @@ def main() -> None:
     # Re-emit the same primary metric enriched with the decode extras: a
     # driver that parses the LAST JSON line gets the full picture, one that
     # parses the FIRST (or killed us mid-decode) still has the train number.
-    emit(decode_s=decode_s, decode_cps=decode_cps)
+    emit(decode_s=decode_s, decode_cps=decode_cps, final=True)
 
 
 if __name__ == "__main__":

@@ -110,6 +110,22 @@ def _flash_shard_specs(mesh, q_shape, kv_mask):
     tp_ax = "tp" if tp > 1 and H % tp == 0 else None
     if dp_ax is None and tp_ax is None:
         return None
+    # A >1 mesh axis whose dim is indivisible gets declared replicated: the
+    # result is still correct, but shard_map all-gathers the inputs over
+    # that axis and every member redoes the full-axis attention — the exact
+    # sharding loss this wrap exists to avoid.  Loud, not silent:
+    import warnings
+    if dp > 1 and dp_ax is None:
+        warnings.warn(
+            f"flash shard_map: batch {B} not divisible by dp={dp}; "
+            "attention inputs will be replicated over dp (dp x redundant "
+            "attention compute). Pad the batch to a dp multiple.",
+            stacklevel=3)
+    if tp > 1 and tp_ax is None:
+        warnings.warn(
+            f"flash shard_map: {H} heads not divisible by tp={tp}; "
+            "attention inputs will be replicated over tp (tp x redundant "
+            "attention compute).", stacklevel=3)
     qkv = P(dp_ax, None, tp_ax, None)
     mask = P(dp_ax, None) if kv_mask is not None else None
     return qkv, mask

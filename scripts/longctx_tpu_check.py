@@ -76,21 +76,11 @@ def _measure(B, remat_ffn):
     _note("dispatch ms/step: " + ", ".join(f"{t / K * 1e3:.1f}"
                                            for t in times))
 
-    # analytic MFU, same conventions as bench.py:101-128
-    import jax as _jax
-    n_matmul_params = sum(
-        int(np.prod(p.shape)) for path, p in
-        _jax.tree_util.tree_flatten_with_path(state.params)[0]
-        if p.ndim >= 2 and "embedding" not in str(path[-1]).lower()
-        and "table" not in str(path[-1]).lower())
-    tokens = B * S
-    dense = 6 * tokens * n_matmul_params
-    n_attn = cfg.encoder_layers + 2 * cfg.decoder_layers
-    attn_unit = 2 * B * S * S * cfg.d_model
-    model_flops = float(dense + n_attn * 6 * attn_unit)
-    hw_flops = float(dense + n_attn * 7 * attn_unit)
-    dev = _jax.devices()[0]
-    peak = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}.get(dev.device_kind)
+    # analytic MFU: the exact helper bench.py uses (one shared convention)
+    from pianobart_tpu.utils.flops import (device_peak_flops,
+                                           pretrain_step_flops)
+    model_flops, hw_flops = pretrain_step_flops(state.params, cfg, B, S)
+    peak = device_peak_flops(jax.devices()[0])
     mfu_m = model_flops / (dt / K) / peak if peak else None
     mfu_h = hw_flops / (dt / K) / peak if peak else None
     return {
@@ -111,8 +101,8 @@ def main():
     while B >= 2:
         attempts.append((B, False))
         B //= 2
-    attempts.append((max(2, int(os.environ.get("PBX_LONGCTX_BATCH", "16"))
-                         // 8), True))
+    # last resort: the smallest batch again, with FFN rematerialisation
+    attempts.append((attempts[-1][0], True))
     result = None
     for B, remat in attempts:
         try:
@@ -128,7 +118,7 @@ def main():
     if result is None:
         raise SystemExit("all batch sizes OOM'd")
     print(json.dumps({
-        "metric": "pretrain_s2048_tokens_per_sec_per_chip",
+        "metric": f"pretrain_s{result['S']}_tokens_per_sec_per_chip",
         "value": round(result["toks_per_sec"], 1),
         "unit": (f"tok/s (tpu, bf16, batch {result['B']}, seq {result['S']}, "
                  f"step {result['step_ms']:.1f} ms"

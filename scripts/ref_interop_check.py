@@ -223,7 +223,11 @@ def main():
         f"layers, S={S}, {n_cls} classes; reference rounds to 4 decimals; "
         f"acc tolerance 5e-5, loss 2e-3.)",
     ]
-    out = os.path.join(work, "interop_report.md")
+    # interop_report.md is real_data_e2e.py's "this stage is done" marker —
+    # it must exist ONLY on success, or a resumed e2e would silently skip
+    # the failed check and fold the MISMATCH table into RESULTS.md.
+    out = os.path.join(work,
+                       "interop_report.md" if ok else "interop_FAILED.md")
     with open(out, "w") as f:
         f.write("\n".join(report) + "\n")
     print("\n".join(report), flush=True)

@@ -102,3 +102,22 @@ def test_flash_single_device_mesh_not_wrapped(qkvm, monkeypatch):
         jaxpr = str(jax.make_jaxpr(lambda a, b, c: dot_product_attention(
             a, b, c, kv_mask=mask, use_flash=True))(q, k, v))
     assert "shard_map" not in jaxpr
+
+
+def test_flash_shard_specs_warn_on_indivisible_axis():
+    """A >1 mesh axis whose dim is indivisible is dropped to replication —
+    correct but dp/tp-x redundant compute; the spec builder must say so."""
+    import warnings
+    from pianobart_tpu.ops.attention import _flash_shard_specs
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    with pytest.warns(UserWarning, match="not divisible by dp"):
+        specs = _flash_shard_specs(mesh, (3, 256, 8, 128), None)
+    assert specs is not None  # tp axis still sharded
+    qkv, _ = specs
+    assert qkv == jax.sharding.PartitionSpec(None, None, "tp", None)
+    with pytest.warns(UserWarning, match="not divisible by tp"):
+        _flash_shard_specs(mesh, (4, 256, 7, 128), None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # divisible dims: no warning
+        qkv, _ = _flash_shard_specs(mesh, (4, 256, 8, 128), None)
+    assert qkv == jax.sharding.PartitionSpec("dp", None, "tp", None)
