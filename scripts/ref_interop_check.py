@@ -223,17 +223,23 @@ def main():
         f"layers, S={S}, {n_cls} classes; reference rounds to 4 decimals; "
         f"acc tolerance 5e-5, loss 2e-3.)",
     ]
-    # interop_report.md is real_data_e2e.py's "this stage is done" marker —
-    # it must exist ONLY on success, or a resumed e2e would silently skip
-    # the failed check and fold the MISMATCH table into RESULTS.md.
-    out = os.path.join(work,
-                       "interop_report.md" if ok else "interop_FAILED.md")
-    with open(out, "w") as f:
-        f.write("\n".join(report) + "\n")
+    out = write_report(work, report, ok)
     print("\n".join(report), flush=True)
     print(f"wrote {out}", flush=True)
     if not ok:
         raise SystemExit("interop MISMATCH — see table above")
+
+
+def write_report(work: str, report_lines, ok: bool) -> str:
+    """interop_report.md is real_data_e2e.py's "this stage is done" marker —
+    it must exist ONLY on success, or a resumed e2e would silently skip the
+    failed check and fold the MISMATCH table into RESULTS.md.  Mismatches go
+    to interop_FAILED.md (kept for debugging, never treated as done)."""
+    out = os.path.join(work,
+                       "interop_report.md" if ok else "interop_FAILED.md")
+    with open(out, "w") as f:
+        f.write("\n".join(report_lines) + "\n")
+    return out
 
 
 if __name__ == "__main__":

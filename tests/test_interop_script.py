@@ -71,3 +71,24 @@ def test_interop_script_tiny(tmp_path):
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     report = (work / "interop_report.md").read_text()
     assert report.count("| yes |") == 2, report
+
+
+def test_interop_report_written_only_on_success(tmp_path):
+    """A MISMATCH must NOT produce interop_report.md (real_data_e2e's
+    done-marker) — a resumed e2e would silently skip the failed check and
+    fold the mismatch table into RESULTS.md (round-4 review)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_interop_check", os.path.join(REPO, "scripts",
+                                          "ref_interop_check.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.write_report(str(tmp_path), ["| valid | ... | NO |"], ok=False)
+    assert os.path.basename(out) == "interop_FAILED.md"
+    assert not (tmp_path / "interop_report.md").exists()
+    assert "NO" in (tmp_path / "interop_FAILED.md").read_text()
+
+    out = mod.write_report(str(tmp_path), ["| valid | ... | yes |"], ok=True)
+    assert os.path.basename(out) == "interop_report.md"
+    assert (tmp_path / "interop_report.md").exists()
