@@ -109,9 +109,21 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
                     merged[k] = v
             params = {"params": merged}
 
-    out = generate(params, ids, rng=jax.random.PRNGKey(rng_seed + 1), cfg=cfg,
-                   force_full=force_full)
-    out = np.asarray(out[0])
-    ok = window_to_midi(out, output_path)
+    # The reference demo is one-shot: a sampled first token outside the
+    # legal range truncates the whole continuation to nothing and it just
+    # prints "Generate Fail!" (demo.py:102).  Retry a few seeds before
+    # giving up — the compiled decode program is reused, so each retry
+    # costs only one ~0.4 s generate call.
+    retries = int(os.environ.get("PBX_DEMO_RETRIES", "4"))
+    out = None
+    for attempt in range(max(1, retries)):
+        out = generate(params, ids,
+                       rng=jax.random.PRNGKey(rng_seed + 1 + attempt),
+                       cfg=cfg, force_full=force_full)
+        out = np.asarray(out[0])
+        ok = window_to_midi(out, output_path)
+        if ok:
+            break
+        print(f"empty continuation (seed {rng_seed + 1 + attempt}); retrying")
     print(f"Saved to {output_path}" if ok else "Generate Fail! (empty)")
     return intro, out

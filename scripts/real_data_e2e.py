@@ -319,9 +319,11 @@ def main():
         f"- eval-gen: batched KV-cached decode of the full generation test "
         f"split -> {eg_shape} ({dur(eg_s)})",
         f"- merge (average) pretrain+generation trunks ({dur(mg_s)}) -> "
-        f"demo from merged weights ({demo_m_s:.0f}s)",
+        f"demo from merged weights ({demo_m_s:.0f}s): "
+        f"{'continuation_merged.mid written' if os.path.exists(demo_merged) else 'NO OUTPUT (all retry seeds truncated empty)'}",
         f"- demo continuation from `{os.path.relpath(some_midi, work)}` "
-        f"-> continuation.mid ({demo_s:.0f}s incl. compile)",
+        f"({demo_s:.0f}s incl. compile): "
+        f"{'continuation.mid written' if os.path.exists(demo_out) else 'NO OUTPUT (all retry seeds truncated empty)'}",
         "",
         "## Pretrain curve (vocab-weighted)",
         "",

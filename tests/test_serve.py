@@ -283,3 +283,44 @@ def test_multipart_preserves_trailing_bytes():
         name, data = _parse_multipart_file(environ, "file")
         assert name == "a.mid"
         assert data == payload, payload
+
+
+def test_run_demo_retries_seeds_until_nonempty(tmp_path, monkeypatch, rng):
+    """A sampled-illegal first token must not kill the demo: run_demo retries
+    fresh seeds (reusing the compiled decode) before giving up — the
+    reference's one-shot 'Generate Fail!' (demo.py:102) is strictly worse."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    import pianobart_tpu.decode as decode
+    from pianobart_tpu import vocab as V
+    from pianobart_tpu.serve.demo import run_demo
+
+    monkeypatch.chdir(tmp_path)
+    make_song(rng, n_notes=30).dump("in.mid")
+    S = 32
+    calls = []
+
+    def fake_generate(params, ids, rng=None, cfg=None, **kw):
+        calls.append(1)
+        grid = np.zeros((1, S, 8), np.int32)
+        if len(calls) < 3:                      # first 2 seeds: illegal row 0
+            grid[:, :, :] = np.asarray(V.PAD)
+        else:                                   # 3rd seed: valid content
+            grid[0, 4] = np.asarray(V.PAD) + 3  # EOS row
+        return jnp.asarray(grid)
+
+    monkeypatch.setattr(decode, "generate", fake_generate)
+    run_demo(input_path="in.mid", output_path="out.mid", max_seq_len=S,
+             hs=64, layers=1, ffn_dims=128, heads=2)
+    assert len(calls) == 3
+    assert os.path.exists("out.mid")
+
+    # retries exhausted -> no file, no crash
+    calls.clear()
+    monkeypatch.setenv("PBX_DEMO_RETRIES", "2")
+    run_demo(input_path="in.mid", output_path="out2.mid", max_seq_len=S,
+             hs=64, layers=1, ffn_dims=128, heads=2)
+    assert len(calls) == 2
+    assert not os.path.exists("out2.mid")
