@@ -220,6 +220,11 @@ class PretrainRunner:
             if self.bad_epochs >= self.patience:
                 self.logger.epoch_line(
                     f"valid acc not improving for {self.patience} epochs")
+                # structured marker: consumers (e.g. real_data_e2e's stage
+                # cache) can tell a COMPLETED early-stopped run from an
+                # interrupted one without re-training
+                self.logger.log("early_stop", epoch=epoch,
+                                patience=self.patience)
                 break
             tr = self.train_epoch()
             va = self.valid_epoch()
@@ -424,5 +429,7 @@ class SupervisedRunner:
             if self.bad > self.patience:
                 self.logger.epoch_line(
                     f"valid acc not improving for {self.patience} epochs")
+                self.logger.log("early_stop", epoch=epoch + 1,
+                                patience=self.patience)
                 break
         return self.state

@@ -35,7 +35,11 @@ def capture():
     # taken for (round-3 review: hardcoded B silently profiled a
     # different config)
     B = int(os.environ.get("PBX_BENCH_BATCH", "32"))
-    cfg = PianoBartConfig(dtype=jnp.bfloat16)
+    # PBX_PROFILE_SEQ profiles the long-context shapes measured by
+    # scripts/longctx_tpu_check.py (e.g. SEQ=2048 BATCH=16)
+    seq = os.environ.get("PBX_PROFILE_SEQ")
+    cfg = (PianoBartConfig(dtype=jnp.bfloat16, max_len=int(seq)) if seq
+           else PianoBartConfig(dtype=jnp.bfloat16))
     model = PianoBartLM(cfg)
     S = cfg.max_len
     rng = jax.random.PRNGKey(0)

@@ -283,3 +283,54 @@ def test_supervised_runner_shards_batches_on_dp(tmp_path):
     for spec_x, spec_y in seen:
         assert spec_x[0] == "dp", spec_x
         assert spec_y[0] == "dp", spec_y
+
+
+def test_early_stop_writes_structured_event_and_counts_complete(
+        rng, tmp_path, monkeypatch):
+    """Patience exhaustion must leave a machine-readable ``early_stop``
+    event in metrics.jsonl (train/runner.py), and real_data_e2e's stage
+    cache must treat such a run as complete even though it recorded fewer
+    epochs than requested (an early-stopped run re-trained on every e2e
+    rerun otherwise)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.real_data_e2e import _read_run, run_complete
+
+    from pianobart_tpu.models import tiny_config as _tiny
+    cfg = _tiny()
+    S = cfg.max_len
+    model = SequenceClassification(cfg, class_num=4)
+    X = make_ids(rng, 8, S)
+    y = rng.integers(0, 4, 8)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        (jnp.zeros((2, S, 8), jnp.int32), jnp.ones((2, S))),
+        learning_rate=1e-3)
+
+    def step_fn(state, bx, by, rng_, train=True, weight=None):
+        return finetune_seq_step(state, bx, by, rng_, cfg=cfg, train=train,
+                                 weight=weight)
+
+    # force a strictly decreasing selection score: epoch 1 is best, epoch 2
+    # exhausts patience=0 and must stop the requested-6-epoch run
+    scores = iter([1.0, 0.5, 0.4, 0.3, 0.2, 0.1])
+    monkeypatch.setattr(SupervisedRunner, "_selection_score",
+                        lambda self, va: next(scores))
+    data = (X[:4], X[4:6], X[6:], y[:4], y[4:6], y[6:])
+    runner = SupervisedRunner(state, cfg, step_fn, data, str(tmp_path / "es"),
+                              batch_size=2, patience=0)
+    runner.run(epochs=6)
+
+    jsonl = str(tmp_path / "es" / "metrics.jsonl")
+    epochs, early = _read_run(jsonl)
+    assert len(epochs) == 2 and early
+    assert run_complete(jsonl, 6)
+    assert run_complete(jsonl, 2)  # enough epochs alone also completes
+
+    # a rerun that starts over resets BOTH the epoch list and the flag
+    with open(jsonl, "a") as f:
+        f.write('{"event": "epoch", "epoch": 1, "train": {}, "valid": {}}\n')
+    epochs2, early2 = _read_run(jsonl)
+    assert len(epochs2) == 1 and not early2
+    assert not run_complete(jsonl, 6)
