@@ -111,11 +111,11 @@ def main() -> None:
     model_flops_per_step, hw_flops_per_step = pretrain_step_flops(
         state.params, cfg, B, S)
 
-    # Median of `reps` K-step dispatches (each timed dispatch ends with one
-    # host sync).  Median — the same methodology as scripts/step_lab.py —
-    # because through the remote-TPU tunnel individual dispatch round trips
-    # occasionally straggle by 1-2%; a 2-dispatch MEAN measured 414 ms on
-    # the same chip whose median-of-5 is a stable 409 ms.
+    # Diagnostic pass: median of `reps` individually-synced K-step
+    # dispatches (same methodology as scripts/step_lab.py — through the
+    # remote-TPU tunnel individual round trips occasionally straggle by
+    # 1-2%, so median, not mean).  This pays the tunnel RTT every K steps;
+    # the PRIMARY pipelined measurement follows below.
     reps = int(os.environ.get("PBX_BENCH_REPS", "5"))
     _note(f"timing train loop ({reps} dispatches x {K} steps) ...")
     times = []
@@ -125,18 +125,34 @@ def main() -> None:
                                                  0.15, K)
         _ = float(losses[-1])  # host sync each dispatch
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]  # per-dispatch median
-    steps = K
-    toks_per_sec = steps * B * S / dt
-    step_ms = dt / steps * 1e3
+    dt_disp = sorted(times)[len(times) // 2]  # per-dispatch median
     _note("dispatch ms/step: "
           + ", ".join(f"{t / K * 1e3:.1f}" for t in times))
+
+    # Primary metric: PIPELINED steady state — reps back-to-back dispatches,
+    # ONE end sync.  This is how PretrainRunner actually trains (async
+    # dispatch hides input transfers and the tunnel RTT; measured
+    # 0.55 ms/step overlap cost, ROADMAP.md), whereas the per-dispatch
+    # median above pays the ~25 ms host round trip every K steps.  Both
+    # are printed; the pipelined number is the training throughput.
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, (losses, *_) = pretrain_multi_step(state, batch, rng, cfg,
+                                                  0.15, K)
+    _ = float(losses[-1])  # single end-of-run sync
+    dt_pipe = time.perf_counter() - t0
+    steps = reps * K
+    toks_per_sec = steps * B * S / dt_pipe
+    step_ms = dt_pipe / steps * 1e3
+    disp_ms = dt_disp / K * 1e3
+    _note(f"pipelined {step_ms:.1f} ms/step over {steps} steps "
+          f"(per-dispatch median {disp_ms:.1f})")
 
     mfu_model = mfu_hw = None
     peak = device_peak_flops(dev)
     if peak:
-        mfu_model = model_flops_per_step / (dt / steps) / peak
-        mfu_hw = hw_flops_per_step / (dt / steps) / peak
+        mfu_model = model_flops_per_step / (dt_pipe / steps) / peak
+        mfu_hw = hw_flops_per_step / (dt_pipe / steps) / peak
 
     def emit(decode_s=None, decode_cps=None, final=False):
         """One JSON result line.  Called right after the train timing loop —
@@ -149,8 +165,8 @@ def main() -> None:
             "metric": "pretrain_octuple_tokens_per_sec_per_chip",
             "value": round(toks_per_sec, 1),
             "unit": f"tok/s ({platform}, bf16, batch {B}, "
-                    f"step {step_ms:.1f} ms median of {reps}x{K}-step "
-                    f"dispatches"
+                    f"step {step_ms:.1f} ms pipelined over {reps}x{K} steps "
+                    f"(per-dispatch median {disp_ms:.1f} ms)"
                     + (f", model MFU {mfu_model * 100:.1f}%"
                        f" (hw {mfu_hw * 100:.1f}%)" if mfu_model else "")
                     + (f", decode1024 {decode_s:.2f} s" if decode_s else "")

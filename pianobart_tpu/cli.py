@@ -129,6 +129,23 @@ def _init_state(model, cfg, args, lr: float):
     return state, mesh
 
 
+def _placed_like(old_tree, new_tree):
+    """Re-place restored host leaves on device with each original leaf's
+    sharding.  Checkpoint restores graft HOST numpy into the param tree;
+    left there, every later dispatch re-uploads them (measured ~15 s/call
+    for the flagship tree through the axon tunnel — decode.py docstring),
+    and under a mesh the original NamedSharding would be lost."""
+    import jax
+
+    def put(old, new):
+        if new is old:
+            return old
+        sh = getattr(old, "sharding", None)
+        return jax.device_put(new, sh) if sh is not None else jax.device_put(new)
+
+    return jax.tree.map(put, old_tree, new_tree)
+
+
 def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
     """--ckpt: orbax dir, merged .msgpack, or torch .ckpt/.pth (reference)."""
     if not args.ckpt or args.nopretrain:
@@ -137,12 +154,12 @@ def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
         from .train.state import CheckpointManager
         mgr = CheckpointManager(args.ckpt)
         params = mgr.restore_params(state.params)
-        return state.replace(params=params)
+        return state.replace(params=_placed_like(state.params, params))
     if args.ckpt.endswith(".msgpack"):
         # merged-model output of `pbx merge`
         from .train.state import load_merged_msgpack
-        return state.replace(
-            params=load_merged_msgpack(args.ckpt, state.params))
+        params = load_merged_msgpack(args.ckpt, state.params)
+        return state.replace(params=_placed_like(state.params, params))
     from .compat.torch_import import import_checkpoint
     tree = import_checkpoint(args.ckpt, cfg, kind=kind)
     # graft whatever subtrees match (trunk-only checkpoints into full models)
@@ -150,7 +167,7 @@ def _load_init_ckpt(state, args, cfg, kind: Optional[str] = None):
     for k, v in tree.items():
         if k in params:
             params[k] = v
-    return state.replace(params=params)
+    return state.replace(params=_placed_like(state.params, params))
 
 
 def _make_lr_fn(args, lr: float):

@@ -102,8 +102,10 @@ class GenerationService:
 
     def __init__(self, ckpt: Optional[str] = None,
                  generate_fn: Optional[Callable] = None,
-                 max_batch: int = 8, batch_window_s: float = 0.02):
+                 max_batch: int = 8, batch_window_s: float = 0.02,
+                 cfg=None):
         self.ckpt = ckpt
+        self._cfg_arg = cfg  # None -> flagship dims (reference demo.py:107)
         self._ready = False
         self._lock = threading.Lock()
         self._generate_fn = generate_fn  # injectable for tests
@@ -120,31 +122,16 @@ class GenerationService:
         with self._lock:
             if self._ready:
                 return
-            import jax
             import jax.numpy as jnp
-            from flax import linen as nn
-            from ..models import PianoBartConfig, PianoBartLM
-            self.cfg = PianoBartConfig(dtype=jnp.bfloat16)
-            model = PianoBartLM(self.cfg)
-            rng = jax.random.PRNGKey(0)
-            S = self.cfg.max_len
-            ids = jnp.zeros((1, S, 8), jnp.int32)
-            m = jnp.ones((1, S))
-            params = nn.meta.unbox(model.init(rng, ids, ids, m, m))
-            if self.ckpt:
-                if os.path.isdir(self.ckpt):
-                    from ..train.state import CheckpointManager
-                    restored = CheckpointManager(self.ckpt).restore_params(
-                        params["params"])
-                    params = {"params": restored}
-                else:
-                    from ..compat.torch_import import import_checkpoint
-                    tree = import_checkpoint(self.ckpt, self.cfg)
-                    merged = dict(params["params"])
-                    merged.update({k: v for k, v in tree.items()
-                                   if k in merged})
-                    params = {"params": merged}
-            self.params = params
+
+            from ..decode import load_inference_params
+            from ..models import PianoBartConfig
+            self.cfg = self._cfg_arg or PianoBartConfig(dtype=jnp.bfloat16)
+            # eval_shape skeleton + one device_put: a real model.init here
+            # cost a 983 s cold start, and host-resident params cost ~15 s
+            # of param re-upload on EVERY decode (measured; decode.py
+            # docstring has the numbers)
+            self.params = load_inference_params(self.cfg, self.ckpt)
             self._ready = True
 
     @property
@@ -162,14 +149,27 @@ class GenerationService:
         import numpy as np
         from .demo import midi_to_window, window_to_midi
         intro = np.asarray(midi_to_window(midi_in, self.cfg.max_len))[0]
-        req = self._submit_req(intro, seed)
+        # A sampled first token outside the legal range yields an empty
+        # continuation (the reference one-shots this and prints "Generate
+        # Fail!", demo.py:102; run_demo retries — round-4 74aa966).  Do the
+        # same here per REQUEST: each retry re-enters the micro-batch queue
+        # with a distinct seed, so it can coalesce with live traffic and
+        # costs one cheap cached decode.
+        retries = max(1, int(os.environ.get("PBX_DEMO_RETRIES", "4")))
+        ok = False
+        for attempt in range(retries):
+            req = self._submit_req(intro, seed + attempt)
+            ok = window_to_midi(np.asarray(req.result), midi_out)
+            if ok:
+                break
         info = {
             "batch_size_served": req.served_n,
             "seed_semantics": ("per-request" if req.served_n == 1 else
                                f"batch-level stream over {req.served_n} "
                                f"coalesced requests"),
+            "retries": attempt,
         }
-        return window_to_midi(np.asarray(req.result), midi_out), info
+        return ok, info
 
     # -- micro-batching queue -------------------------------------------------
 

@@ -76,38 +76,19 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
              force_full: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     import jax
     import jax.numpy as jnp
-    from flax import linen as nn
-    from ..decode import generate
-    from ..models import PianoBartConfig, PianoBartLM
+    from ..decode import generate, load_inference_params
+    from ..models import PianoBartConfig
 
     cfg = PianoBartConfig(d_model=hs, encoder_layers=layers,
                           decoder_layers=layers, ffn_dim=ffn_dims,
                           num_heads=heads, max_len=max_seq_len,
                           dtype=jnp.bfloat16)
-    model = PianoBartLM(cfg)
     intro = midi_to_window(input_path, window=max_seq_len)
-
-    rng = jax.random.PRNGKey(rng_seed)
-    ids = jnp.asarray(intro)
-    mask = jnp.ones((1, max_seq_len))
-    params = nn.meta.unbox(model.init(rng, ids, ids, mask, mask))
-    if ckpt and not nopretrain:
-        if os.path.isdir(ckpt):
-            from ..train.state import CheckpointManager
-            restored = CheckpointManager(ckpt).restore_params(params["params"])
-            params = {"params": restored}
-        elif ckpt.endswith(".msgpack"):
-            # merged-model output of `pbx merge` (flax serialization)
-            from ..train.state import load_merged_msgpack
-            params = {"params": load_merged_msgpack(ckpt, params["params"])}
-        else:
-            from ..compat.torch_import import import_checkpoint
-            tree = import_checkpoint(ckpt, cfg)
-            merged = dict(params["params"])
-            for k, v in tree.items():
-                if k in merged:
-                    merged[k] = v
-            params = {"params": merged}
+    # device-resident params via eval_shape skeleton + one device_put
+    # (host-resident params re-upload the whole tree per generate call —
+    # ~15 s each at flagship dims through the tunnel; decode.py docstring)
+    params = load_inference_params(
+        cfg, ckpt if ckpt and not nopretrain else None, rng_seed=rng_seed)
 
     # The reference demo is one-shot: a sampled first token outside the
     # legal range truncates the whole continuation to nothing and it just
@@ -117,7 +98,7 @@ def run_demo(input_path: str, output_path: str = "./output.mid",
     retries = int(os.environ.get("PBX_DEMO_RETRIES", "4"))
     out = None
     for attempt in range(max(1, retries)):
-        out = generate(params, ids,
+        out = generate(params, jnp.asarray(intro),
                        rng=jax.random.PRNGKey(rng_seed + 1 + attempt),
                        cfg=cfg, force_full=force_full)
         out = np.asarray(out[0])

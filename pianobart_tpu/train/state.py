@@ -465,10 +465,16 @@ class CheckpointManager:
         if isinstance(template, dict):
             return {k: CheckpointManager._graft(v, saved[k]) if k in saved
                     else v for k, v in template.items()}
+        # template may be a concrete array OR a jax.ShapeDtypeStruct (the
+        # inference loader builds its skeleton with jax.eval_shape so that
+        # restoring never compiles/runs a real model.init)
         arr = np.asarray(saved)
-        assert arr.shape == np.asarray(template).shape, (
-            f"checkpoint shape {arr.shape} != model {np.shape(template)}")
-        return arr.astype(np.asarray(template).dtype)
+        tshape = tuple(getattr(template, "shape", np.shape(template)))
+        tdtype = np.dtype(getattr(template, "dtype",
+                                  np.asarray(template).dtype))
+        assert arr.shape == tshape, (
+            f"checkpoint shape {arr.shape} != model {tshape}")
+        return arr.astype(tdtype)
 
     def restore_params(self, params, best: bool = True):
         """Load only model params (e.g. pretrain trunk into a finetune).
