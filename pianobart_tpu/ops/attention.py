@@ -77,15 +77,57 @@ def _flash_eligible(q, k, bias) -> bool:
             and k.shape[1] >= 256)
 
 
-def _ambient_mesh():
-    """The concrete mesh installed by ``with mesh:`` around the jitted
-    trainers (trace-time read; empty mesh -> None)."""
+def _resolve_thread_resources():
+    """Locate jax's thread-local mesh state ONCE at import time.
+
+    Primary path is the public ``jax.interpreters.pxla`` re-export (the
+    same object as ``jax._src.mesh.thread_resources``; deprecation
+    suppressed because we pin the fallback chain with a test).  If every
+    path vanishes in a jax upgrade the failure is LOUD — a warning at
+    import plus ``tests/test_flash_tp.py::test_mesh_probe_resolves``
+    failing — instead of flash silently losing the shard_map wrap and
+    reverting mesh runs to full-replication attention.
+    """
+    import warnings
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters.pxla import thread_resources
+        return thread_resources
+    except ImportError:
+        pass
     try:
         from jax._src.mesh import thread_resources
-        m = thread_resources.env.physical_mesh
-        return None if m.empty else m
-    except Exception:
+        return thread_resources
+    except ImportError:
+        warnings.warn(
+            "pianobart_tpu: jax thread_resources not found in this jax "
+            "version; flash attention will NOT be shard_map-wrapped under "
+            "dp/tp meshes (inputs would be fully replicated). Pin jax or "
+            "update pianobart_tpu.ops.attention._resolve_thread_resources.")
         return None
+
+
+_THREAD_RESOURCES = _resolve_thread_resources()
+
+
+def _ambient_mesh():
+    """The concrete mesh installed by ``with mesh:`` around the jitted
+    trainers (trace-time read; empty mesh -> None).
+
+    Returns None while tracing inside an existing shard_map region (the
+    abstract mesh's axes are Manual there — public API): the sp/ring
+    trainers call attention from inside their own shard_map, and a nested
+    wrap over already-manual axes would fail at trace time.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if (am is not None and not am.empty
+            and jax.sharding.AxisType.Manual in am.axis_types):
+        return None
+    if _THREAD_RESOURCES is None:
+        return None
+    m = _THREAD_RESOURCES.env.physical_mesh
+    return None if m.empty else m
 
 
 def _flash_shard_specs(mesh, q_shape, kv_mask):

@@ -104,6 +104,46 @@ def test_flash_single_device_mesh_not_wrapped(qkvm, monkeypatch):
     assert "shard_map" not in jaxpr
 
 
+def test_mesh_probe_resolves():
+    """Loud-failure pin for the ambient-mesh probe (round-4 verdict weak #6).
+
+    ``_resolve_thread_resources`` walks a public-first import chain; if a
+    jax upgrade removes every path, this test fails instead of flash
+    silently losing its shard_map wrap under dp/tp meshes.
+    """
+    from pianobart_tpu.ops import attention
+    assert attention._THREAD_RESOURCES is not None, (
+        "jax thread_resources unreachable: flash would silently fall back "
+        "to replicated attention under meshes — fix _resolve_thread_resources")
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    assert attention._ambient_mesh() is None
+    with mesh:
+        m = attention._ambient_mesh()
+        assert m is not None and dict(m.shape) == {"dp": 2, "tp": 2, "sp": 2}
+    assert attention._ambient_mesh() is None
+
+
+def test_ambient_mesh_none_inside_shard_map():
+    """Tracing inside an existing shard_map region must NOT see an ambient
+    mesh: the sp/ring trainers call attention from inside their own
+    shard_map, and a nested wrap over Manual axes fails at trace time
+    (round-4 advisor finding)."""
+    from jax.sharding import PartitionSpec as P
+    from pianobart_tpu.ops import attention
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    seen = []
+
+    def body(x):
+        seen.append(attention._ambient_mesh())
+        return x * 2
+
+    with mesh:
+        assert attention._ambient_mesh() is not None
+        jax.shard_map(body, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+                      check_vma=False)(jnp.ones((8, 4)))
+    assert seen == [None]
+
+
 def test_flash_shard_specs_warn_on_indivisible_axis():
     """A >1 mesh axis whose dim is indivisible is dropped to replication —
     correct but dp/tp-x redundant compute; the spec builder must say so."""
