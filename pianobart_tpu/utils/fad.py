@@ -15,6 +15,14 @@ denominator::
 
 Windows are batched with numpy (the reference loops per sample per window on
 host — its second CPU hot spot, SURVEY §3.3).
+
+Parity status: the upstream package is unobtainable offline, so exact
+reference-numeric parity cannot be asserted against its literal bytes.
+The anchor is ``tests/vendored_shapesimilarity.py`` — a scalar, per-pair
+reconstruction of the published upstream algorithm (with the repo patch
+applied) in the upstream's own style — which this module matches exactly
+(to the package's 4-decimal rounding) on random pitch tracks
+(``test_fad.py::test_matches_vendored_upstream``).
 """
 from __future__ import annotations
 
