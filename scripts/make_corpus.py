@@ -40,6 +40,14 @@ BAR4 = 4 * BEAT
 
 MAJOR = [0, 2, 4, 5, 7, 9, 11]
 MINOR = [0, 2, 3, 5, 7, 8, 10]
+# Harmonic minor (raised leading tone).  The round-4 verdict's emotion-task
+# ceiling analysis: natural minor shares its pitch-class SET with its
+# relative major, so with randomized roots the mode — hence the valence bit
+# of the Russell-quadrant label — was nearly unlearnable from pitch content.
+# Harmonic minor's augmented second makes the set distinct from every major
+# transposition (and matches practice: real minor-mode repertoire raises
+# the 7th in dominant-function contexts — cf. Fuer Elise's G#).
+HARMONIC_MINOR = [0, 2, 3, 5, 7, 8, 11]
 
 # Diatonic triads (scale degrees) for common progressions.
 PROGRESSIONS = [
@@ -189,9 +197,18 @@ def fur_elise(rng) -> MidiFile:
 # procedural composers (distinct, parameterized styles)
 # ---------------------------------------------------------------------------
 
-def melody_line(rng, root, scale, prog, n_bars, beats_per_bar, register=12):
+def melody_line(rng, root, scale, prog, n_bars, beats_per_bar, register=12,
+                vel_bias=0):
     """Phrase-structured melody: chord tones on strong beats, stepwise
-    passing notes between, 4-bar phrases with AABA-style reuse."""
+    passing notes between, 4-bar phrases with AABA-style reuse.
+
+    Mode-specific cadences (round-4 verdict do-this #1): every 4th bar ends
+    with an authentic cadential figure into the tonic — leading-tone
+    ascent (7̂→1̂, the harmonic-minor semitone) in minor, supertonic descent
+    (2̂→1̂, a whole tone) in major — so phrase endings carry the valence
+    bit melodically.  ``vel_bias`` keys dynamics to valence.
+    """
+    minor = scale is not MAJOR
     phrases = {}
     notes = []
     deg = 7  # start an octave up
@@ -203,12 +220,14 @@ def melody_line(rng, root, scale, prog, n_bars, beats_per_bar, register=12):
         if key in phrases and rng.random() < 0.7:
             bar_notes = [(b, d, p) for (b, d, p) in phrases[key]]
         else:
+            cadence = bar_in_phrase == 3 and beats_per_bar >= 2
+            fill_beats = beats_per_bar - 2 if cadence else beats_per_bar
             bar_notes = []
             beat = 0.0
-            while beat < beats_per_bar:
+            while beat < fill_beats:
                 dur = float(rng.choice([0.5, 0.5, 1.0, 1.0, 2.0],
                                        p=[.3, .2, .3, .1, .1]))
-                dur = min(dur, beats_per_bar - beat)
+                dur = min(dur, fill_beats - beat)
                 if abs(beat - round(beat)) < 1e-6 and rng.random() < 0.7:
                     choice = [chord_deg, chord_deg + 2, chord_deg + 4]
                     target = int(rng.choice(choice)) + 7
@@ -217,45 +236,57 @@ def melody_line(rng, root, scale, prog, n_bars, beats_per_bar, register=12):
                     deg += int(rng.choice([-1, 1]))
                 bar_notes.append((beat, dur, deg))
                 beat += dur
+            if cadence:
+                # approach the octave tonic (deg 7): from below through the
+                # leading tone in minor, from above through the supertonic
+                # in major
+                bar_notes.append((fill_beats, 1.0, 6 if minor else 8))
+                bar_notes.append((fill_beats + 1.0, 1.0, 7))
+                deg = 7
             phrases[key] = bar_notes
         for beat, dur, d in bar_notes:
             start = int((bar * beats_per_bar + beat) * BEAT)
             pitch = scale_pitch(root, scale, d) + register - 12
             arc = np.sin((bar % 16) / 16 * np.pi)  # 16-bar dynamic arc
-            vel = int(np.clip(58 + 25 * arc + rng.integers(-6, 7), 1, 127))
+            vel = int(np.clip(58 + vel_bias + 25 * arc + rng.integers(-6, 7),
+                              1, 127))
             notes.append(Note(vel, int(np.clip(pitch, 21, 108)),
                               start, start + int(dur * BEAT)))
     return notes
 
 
-def accompaniment(rng, root, scale, prog, n_bars, beats_per_bar, style):
+def accompaniment(rng, root, scale, prog, n_bars, beats_per_bar, style,
+                  vel_bias=0):
     notes = []
+    vb = vel_bias
     for bar in range(n_bars):
         chord = triad(root - 12, scale, prog[bar % len(prog)])
         t0 = bar * beats_per_bar * BEAT
         if style == "block":
             for p in chord:
-                notes.append(Note(44, p, t0, t0 + beats_per_bar * BEAT))
+                notes.append(Note(44 + vb, p, t0, t0 + beats_per_bar * BEAT))
         elif style == "arp":
             seq = chord + [chord[1]]
             n = int(beats_per_bar * 2)
             for k in range(n):
-                notes.append(Note(46, seq[k % len(seq)], t0 + k * BEAT // 2,
+                notes.append(Note(46 + vb, seq[k % len(seq)],
+                                  t0 + k * BEAT // 2,
                                   t0 + (k + 1) * BEAT // 2))
         elif style == "stride":
             for k in range(int(beats_per_bar)):
                 if k % 2 == 0:
-                    notes.append(Note(56, chord[0] - 12, t0 + k * BEAT,
+                    notes.append(Note(56 + vb, chord[0] - 12, t0 + k * BEAT,
                                       t0 + k * BEAT + BEAT // 2))
                 else:
                     for p in chord:
-                        notes.append(Note(48, p, t0 + k * BEAT,
+                        notes.append(Note(48 + vb, p, t0 + k * BEAT,
                                           t0 + k * BEAT + BEAT // 2))
         elif style == "tremolo":  # dense: exercises >1024-token segments
             n = int(beats_per_bar * 8)
             for k in range(n):
                 p = chord[k % 3]
-                notes.append(Note(40 + (k % 2) * 8, p, t0 + k * BEAT // 8,
+                notes.append(Note(40 + vb + (k % 2) * 8, p,
+                                  t0 + k * BEAT // 8,
                                   t0 + (k + 1) * BEAT // 8))
     return notes
 
@@ -295,18 +326,25 @@ def procedural_song(rng, style_name: str, n_bars: int,
     """
     acc_style, (t_lo, t_hi), minor_p, sigs, reg = STYLES[style_name]
     root = int(rng.integers(48, 60))
-    scale = MINOR if rng.random() < minor_p else MAJOR
+    # minor songs use HARMONIC minor: its pitch-class set is distinct from
+    # every major transposition, so the valence bit of the emotion label is
+    # learnable from pitch content (round-4 verdict do-this #1)
+    scale = HARMONIC_MINOR if rng.random() < minor_p else MAJOR
     prog = list(rng.choice(len(PROGRESSIONS), 1))
     prog = PROGRESSIONS[prog[0]]
     num, den = sigs[int(rng.integers(0, len(sigs)))]
     beats_per_bar = num * 4 / den
     tempo = float(rng.integers(t_lo, t_hi + 1))
     if quadrant is not None:
-        scale = MINOR if quadrant in (2, 3) else MAJOR
+        scale = HARMONIC_MINOR if quadrant in (2, 3) else MAJOR
         if quadrant in (1, 2):   # high arousal: initial tempo >= 90
             tempo = float(rng.integers(max(t_lo, 90), max(t_hi, 96) + 1))
         else:                    # low arousal: initial tempo < 90
             tempo = float(rng.integers(min(t_lo, 56), 90))
+    # valence-keyed dynamics: positive-valence (major) songs play brighter,
+    # negative-valence (minor) softer — a second, velocity-field channel
+    # for the valence bit, independent of the tempo/arousal channel
+    vel_bias = -8 if scale is not MAJOR else 8
 
     m = MidiFile(ticks_per_beat=TPB)
     m.tempo_changes = [TempoChange(tempo, 0)]
@@ -318,16 +356,18 @@ def procedural_song(rng, style_name: str, n_bars: int,
     # to carry signal (round-2 verdict: "lead"/"acc" made every note OTHER).
     lead = Instrument(program=0 if style_name != "Band" else 73,
                       name="MELODY")
-    lead.notes = melody_line(rng, root, scale, prog, n_bars, beats_per_bar, reg)
+    lead.notes = melody_line(rng, root, scale, prog, n_bars, beats_per_bar,
+                             reg, vel_bias=vel_bias)
     acc = Instrument(program=0 if style_name != "Band" else 48, name="PIANO")
     acc.notes = accompaniment(rng, root, scale, prog, n_bars, beats_per_bar,
-                              acc_style)
+                              acc_style, vel_bias=vel_bias)
     m.instruments = [lead, acc]
     if rng.random() < 0.7:  # secondary/counter melody an octave below
         bridge = Instrument(program=0 if style_name != "Band" else 71,
                             name="BRIDGE")
         bridge.notes = melody_line(rng, root, scale, prog, n_bars,
-                                   beats_per_bar, reg - 12)
+                                   beats_per_bar, reg - 12,
+                                   vel_bias=vel_bias)
         # sparser than the lead: keep roughly every other note
         bridge.notes = bridge.notes[::2]
         m.instruments.append(bridge)
@@ -355,7 +395,7 @@ def procedural_song(rng, style_name: str, n_bars: int,
     # expose the ACTUAL mode for the emotion label: inferring it from the
     # first note's pitch class was random noise (round-3 review) — the
     # valence bit of Q labels carried no signal for procedural songs
-    m.is_minor = scale is MINOR
+    m.is_minor = scale is not MAJOR
     return m
 
 
