@@ -214,29 +214,6 @@ def main():
                       "--ckpt", "result/pretrain/realdata/best"], cwd=work)
     ft = read_epochs(ft_jsonl)
 
-    # 3a. flagship-scale behavioral interop: the UNMODIFIED reference
-    # trainer must reproduce the trained composer checkpoint's metrics
-    # (round-3 verdict item 4).  CPU-only subprocess — the TPU stays free.
-    interop_md = os.path.join(work, "interop_report.md")
-    interop_s = 0.0
-    if not os.path.exists(interop_md):
-        print("+ scripts/ref_interop_check.py (CPU)", flush=True)
-        e = dict(os.environ)
-        e["PYTHONPATH"] = REPO + ":" + e.get("PYTHONPATH", "")
-        e["PALLAS_AXON_POOL_IPS"] = ""  # never register the TPU
-        t0 = time.time()
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts",
-                                          "ref_interop_check.py"), work],
-            env=e, capture_output=True, text=True)
-        interop_s = time.time() - t0
-        if r.returncode != 0:
-            print(r.stdout[-4000:])
-            print(r.stderr[-4000:])
-            raise SystemExit("ref_interop_check failed")
-    with open(interop_md) as f:
-        interop_lines = f.read().rstrip("\n").split("\n")
-
     # 3b. generation finetune (+FAD) from the pretrain checkpoint
     if not os.path.exists(os.path.join(
             work, "Data/output_generate/corpus/corpus_train.npy")):
@@ -269,6 +246,31 @@ def main():
                        "--name", "realdata", "--mesh", "1x1x1",
                        "--ckpt", "result/pretrain/realdata/best"], cwd=work)
     vel = read_epochs(vel_jsonl)
+
+    # 3c1. flagship-scale behavioral interop: the UNMODIFIED reference
+    # trainer must reproduce the trained composer AND velocity checkpoints'
+    # metrics (round-3 verdict item 4 + round-4 do-this #4 — velocity
+    # exercises the swapped decoder label embedding, the hairiest export
+    # mapping).  CPU-only subprocess — the TPU stays free.
+    interop_md = os.path.join(work, "interop_report.md")
+    interop_s = 0.0
+    if not os.path.exists(interop_md):
+        print("+ scripts/ref_interop_check.py (CPU)", flush=True)
+        e = dict(os.environ)
+        e["PYTHONPATH"] = REPO + ":" + e.get("PYTHONPATH", "")
+        e["PALLAS_AXON_POOL_IPS"] = ""  # never register the TPU
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "ref_interop_check.py"), work],
+            env=e, capture_output=True, text=True)
+        interop_s = time.time() - t0
+        if r.returncode != 0:
+            print(r.stdout[-4000:])
+            print(r.stderr[-4000:])
+            raise SystemExit("ref_interop_check failed")
+    with open(interop_md) as f:
+        interop_lines = f.read().rstrip("\n").split("\n")
 
     # 3c2. emotion finetune (4-way, labels from the QX_ file-name prefixes)
     epochs_emo = int(os.environ.get("PBX_E2E_EMO_EPOCHS", "3"))

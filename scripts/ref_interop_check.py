@@ -1,17 +1,26 @@
-"""Flagship-scale behavioral interop check (round-3 verdict item 4).
+"""Flagship-scale behavioral interop check (round-3 verdict item 4;
+velocity extension round-4 do-this #4).
 
-Exports the REAL-DATA composer classifier trained by
-``scripts/real_data_e2e.py`` (flagship dims: d1024, 8+8 layers, S=1024) to
-the reference torch format with ``--strict_ref`` semantics, loads it with a
-STRICT ``load_state_dict`` into the unmodified reference
-``SequenceClassification`` (``/root/reference/model.py:165-218``, the
-``main.py:268`` loading path), runs the reference's OWN
+Exports the REAL-DATA classifiers trained by ``scripts/real_data_e2e.py``
+(flagship dims: d1024, 8+8 layers, S=1024) to the reference torch format
+with ``--strict_ref`` semantics, loads each with a STRICT
+``load_state_dict`` into the unmodified reference model
+(``/root/reference/model.py``), runs the reference's OWN
 ``FinetuneTrainer.valid()/test()`` loops
 (``/root/reference/finetune.py:140-150``) on the same ``.npy`` splits on
-CPU, and demands the reference-computed accuracy/loss equal our eval's.
+CPU, and demands the reference-computed accuracy/loss equal ours.
+
+Two tasks are checked:
+
+* composer — ``SequenceClassification`` (``model.py:165-218``), the
+  ``main.py:268`` loading path;
+* velocity — ``TokenClassification`` with the swapped decoder label
+  embedding (``model.py:242-245``, ``PianoBart.py:88-91``) and the
+  reference's velocity label shift (``finetune.py:193-198``) — the
+  hairiest export mapping.
 
 This upgrades the d64/S32 proof in ``tests/test_ref_behavioral_interop.py``
-to a real trained checkpoint at published-model scale.  Writes
+to real trained checkpoints at published-model scale.  Writes
 ``<work>/interop_report.md`` (folded into RESULTS.md by real_data_e2e.py).
 
 Runs entirely on CPU — safe to run alongside TPU jobs.
@@ -35,7 +44,15 @@ B = 8  # eval batch size on both sides (reference DataLoader + our step)
 
 def load_reference_stack():
     """Import the unmodified reference modules (finetune.py needs the
-    transformers AdamW shim: the lazy module must materialize first)."""
+    transformers AdamW shim: the lazy module must materialize first).
+
+    The reference files cross-import by bare name ('from PianoBart import
+    ...'), so they are registered in sys.modules during exec — and REMOVED
+    after (round-4 advisor finding: leaving generic names like 'model' in
+    sys.modules permanently can shadow later same-named imports when this
+    module's helpers are imported in-process instead of as a subprocess).
+    The returned module objects keep their cross-references alive.
+    """
     import torch
     import transformers  # noqa: F401
     from transformers import BartModel  # noqa: F401  (forces real import)
@@ -43,12 +60,14 @@ def load_reference_stack():
     if not hasattr(_t, "AdamW"):
         _t.AdamW = torch.optim.AdamW
     sys.path.insert(0, REF)
+    names = []
     try:
         def load(name, fname):
             spec = importlib.util.spec_from_file_location(
                 name, os.path.join(REF, fname))
             mod = importlib.util.module_from_spec(spec)
-            sys.modules[name.split(".")[-1]] = mod
+            sys.modules[name] = mod
+            names.append(name)
             spec.loader.exec_module(mod)
             return mod
 
@@ -61,6 +80,8 @@ def load_reference_stack():
         return ref_pb, ref_model, ref_finetune, e2w, w2e
     finally:
         sys.path.remove(REF)
+        for n in names:
+            sys.modules.pop(n, None)
 
 
 def our_eval(state, cfg, X, y, step_fn):
@@ -85,7 +106,7 @@ def our_eval(state, cfg, X, y, step_fn):
             by = np.concatenate([by, pad_y])
             w[n:] = 0.0
         _, m = step_fn(state, jnp.asarray(bx, jnp.int32), jnp.asarray(by),
-                       jax.random.PRNGKey(0), cfg=cfg, train=False,
+                       jax.random.PRNGKey(0), train=False,
                        weight=jnp.asarray(w))
         losses.append(float(m["loss"]))
         num += float(m["acc_num"])
@@ -93,72 +114,127 @@ def our_eval(state, cfg, X, y, step_fn):
     return float(np.mean(losses)), num / den
 
 
-def main():
-    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pbx_real_e2e"
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    # parity with torch f32: CPU matmuls must not downcast
-    jax.config.update("jax_default_matmul_precision", "highest")
-    import jax.numpy as jnp
+def _load_splits(work, task, token=False):
     import numpy as np
-    from flax import linen as nn
-
-    from pianobart_tpu.compat.torch_export import (
-        export_sequence_classifier, save_torch_checkpoint)
-    from pianobart_tpu.models import PianoBartConfig, SequenceClassification
-    from pianobart_tpu.train.finetune import finetune_seq_step
-    from pianobart_tpu.train.state import (CheckpointManager, TrainState,
-                                           make_optimizer)
-
-    root = os.path.join(work, "Data/output_composer/corpus")
-    ckpt_dir = os.path.join(work, "result/finetune/composer_realdata")
-    n_cls = len(json.load(open(os.path.join(root, "corpus_composer.json"))))
+    root = os.path.join(work, f"Data/output_{task}/corpus")
     splits = {}
     for s in ("valid", "test"):
         X = np.asarray(np.load(os.path.join(root, f"corpus_{s}.npy"),
                                allow_pickle=True), np.int64)
         ya = np.asarray(np.load(os.path.join(root, f"corpus_{s}_ans.npy"),
                                 allow_pickle=True), np.int64)
+        if token and ya.ndim == 3 and ya.shape[-1] == 1:
+            ya = ya.squeeze(-1)
         splits[s] = (X, ya)
-    S = splits["test"][0].shape[1]
+    return splits
 
-    # ---- our side: restore the trained composer best checkpoint ----------
-    # PBX_INTEROP_CFG ('{"d_model": 64, ...}') shrinks the model for the
-    # script's own smoke test (tests/test_interop_script.py); production
-    # runs use the CLI finetune defaults = flagship dims.
-    overrides = json.loads(os.environ.get("PBX_INTEROP_CFG", "{}"))
-    cfg = PianoBartConfig(dropout=0.0, use_flash_attention=False, max_len=S,
-                          **overrides)
-    model = SequenceClassification(cfg, class_num=n_cls)
-    template = nn.meta.unbox(model.init(
-        jax.random.PRNGKey(0), jnp.zeros((2, S, 8), jnp.int32),
-        jnp.ones((2, S))))["params"]
+
+def _restore_ours(work, model, cfg, ckpt_rel, sample_args):
+    """Restore the trained best checkpoint; a silent total graft-miss would
+    have BOTH sides evaluating the same random init and the check would
+    pass vacuously, so demand the restore actually changed something."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+    from flax import linen as nn
+
+    from pianobart_tpu.train.state import (CheckpointManager, TrainState,
+                                           make_optimizer)
+    template = nn.meta.unbox(model.init(jax.random.PRNGKey(0),
+                                        *sample_args))["params"]
+    ckpt_dir = os.path.join(work, ckpt_rel)
     params = CheckpointManager(ckpt_dir).restore_params(template, best=True)
-    # _graft keeps template leaves for missing keys; a silent total miss
-    # would have BOTH sides evaluating the same random init and the check
-    # would pass vacuously.  Demand the restore actually changed something.
     changed = any(
         np.any(np.asarray(a) != np.asarray(b))
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(template)))
     assert changed, f"checkpoint restore from {ckpt_dir} grafted nothing"
-    state = TrainState.create(apply_fn=model.apply, params=params,
-                              tx=make_optimizer())
+    return TrainState.create(apply_fn=model.apply, params=params,
+                             tx=make_optimizer())
 
+
+def _ref_trainer(ref_finetune, pianobart, ref_clf, splits, class_num, hs,
+                 seq):
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+    loaders = {
+        s: DataLoader(TensorDataset(torch.from_numpy(X), torch.from_numpy(y)),
+                      batch_size=B, shuffle=False)
+        for s, (X, y) in splits.items()}
+    test_shape = ((len(splits["test"][0]),) if seq
+                  else splits["test"][1].shape)
+    return ref_finetune.FinetuneTrainer(
+        pianobart, loaders["valid"], loaders["valid"], loaders["test"],
+        lr=1e-3, class_num=class_num, hs=hs, testset_shape=test_shape,
+        cpu=True, cuda_devices=[], model=ref_clf, SeqClass=seq)
+
+
+def check_task(work, ref_stack, task, overrides):
+    """Run the ours-vs-reference comparison for one task; returns
+    (markdown rows, ok, description line)."""
+    import functools
+
+    import jax
+    import numpy as np
+    import torch
+
+    from pianobart_tpu.compat.torch_export import (
+        export_sequence_classifier, export_token_classifier,
+        save_torch_checkpoint)
+    from pianobart_tpu.models import (PianoBartConfig, SequenceClassification,
+                                      TokenClassification)
+    from pianobart_tpu.train.finetune import (finetune_seq_step,
+                                              finetune_token_step)
+
+    ref_pb, ref_model, ref_finetune, e2w, w2e = ref_stack
+    seq = task == "composer"
+    splits = _load_splits(work, task, token=not seq)
+    S = splits["test"][0].shape[1]
+
+    # ---- our side: restore the trained best checkpoint ---------------
+    import jax.numpy as jnp
+    if seq:
+        root = os.path.join(work, "Data/output_composer/corpus")
+        n_cls = len(json.load(open(os.path.join(root,
+                                                "corpus_composer.json"))))
+        cfg = PianoBartConfig(dropout=0.0, use_flash_attention=False,
+                              max_len=S, **overrides)
+        model = SequenceClassification(cfg, class_num=n_cls)
+        sample = (jnp.zeros((2, S, 8), jnp.int32), jnp.ones((2, S)))
+        step_fn = functools.partial(finetune_seq_step, cfg=cfg)
+        ckpt_rel = "result/finetune/composer_realdata"
+        ref_class_num = n_cls
+    else:
+        n_cls = 7  # reference velocity class_num (finetune.py:64-65)
+        cfg = PianoBartConfig(dropout=0.0, use_flash_attention=False,
+                              max_len=S, decoder_label_vocab=n_cls + 1,
+                              **overrides)
+        model = TokenClassification(cfg, class_num=n_cls + 1)
+        sample = (jnp.zeros((2, S, 8), jnp.int32),
+                  jnp.zeros((2, S), jnp.int32),
+                  jnp.ones((2, S)), jnp.ones((2, S)))
+        step_fn = functools.partial(finetune_token_step, cfg=cfg,
+                                    velocity=True)
+        ckpt_rel = "result/finetune/velocity_realdata"
+        ref_class_num = n_cls
+
+    state = _restore_ours(work, model, cfg, ckpt_rel, sample)
     ours = {}
     for s in ("valid", "test"):
         t0 = time.time()
-        ours[s] = our_eval(state, cfg, *splits[s], finetune_seq_step)
-        print(f"ours {s}: loss={ours[s][0]:.4f} acc={ours[s][1]:.4f} "
+        ours[s] = our_eval(state, cfg, *splits[s], step_fn)
+        print(f"ours {task} {s}: loss={ours[s][0]:.4f} acc={ours[s][1]:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
-    # ---- export -> STRICT load into the unmodified reference -------------
-    sd = export_sequence_classifier(params, cfg, strict_ref=True)
-    ckpt_path = os.path.join(work, "composer_exported.ckpt")
+    # ---- export -> STRICT load into the unmodified reference ---------
+    if seq:
+        sd = export_sequence_classifier(state.params, cfg, strict_ref=True)
+        ckpt_path = os.path.join(work, "composer_exported.ckpt")
+    else:
+        sd = export_token_classifier(state.params, cfg, strict_ref=True)
+        ckpt_path = os.path.join(work, "velocity_exported.ckpt")
     save_torch_checkpoint(sd, ckpt_path)
     print(f"exported {len(sd)} tensors -> {ckpt_path}", flush=True)
 
-    import torch
-    ref_pb, ref_model, ref_finetune, e2w, w2e = load_reference_stack()
     from transformers import BartConfig
     theirs_cfg = BartConfig(
         max_position_embeddings=S, d_model=cfg.d_model,
@@ -168,31 +244,33 @@ def main():
         decoder_attention_heads=cfg.num_heads)
     torch.manual_seed(0)
     pianobart = ref_pb.PianoBart(theirs_cfg, e2w, w2e)
-    ref_clf = ref_model.SequenceClassification(pianobart, n_cls, cfg.d_model)
+    if seq:
+        ref_clf = ref_model.SequenceClassification(pianobart, n_cls,
+                                                   cfg.d_model)
+    else:
+        # class_num+1 (finetune.py:97) >= 5 triggers the reference's
+        # decoder label-embedding swap (model.py:242-245)
+        ref_clf = ref_model.TokenClassification(pianobart, n_cls + 1,
+                                                cfg.d_model)
     ck = torch.load(ckpt_path, map_location="cpu")
     ref_clf.load_state_dict(ck["state_dict"])  # STRICT: main.py:268 path
     ref_clf.eval()
 
-    from torch.utils.data import DataLoader, TensorDataset
-    loaders = {
-        s: DataLoader(TensorDataset(torch.from_numpy(X), torch.from_numpy(y)),
-                      batch_size=B, shuffle=False)
-        for s, (X, y) in splits.items()}
-    trainer = ref_finetune.FinetuneTrainer(
-        pianobart, loaders["valid"], loaders["valid"], loaders["test"],
-        lr=1e-3, class_num=n_cls, hs=cfg.d_model,
-        testset_shape=(len(splits["test"][0]),), cpu=True, cuda_devices=[],
-        model=ref_clf, SeqClass=True)
+    trainer = _ref_trainer(ref_finetune, pianobart, ref_clf, splits,
+                           ref_class_num, cfg.d_model, seq)
     t0 = time.time()
     ref_vloss, ref_vacc = trainer.valid()
-    print(f"reference valid: loss={ref_vloss} acc={ref_vacc} "
+    print(f"reference {task} valid: loss={ref_vloss} acc={ref_vacc} "
           f"({time.time() - t0:.0f}s)", flush=True)
     t0 = time.time()
     ref_tloss, ref_tacc, all_output = trainer.test()
-    print(f"reference test: loss={ref_tloss} acc={ref_tacc} "
+    print(f"reference {task} test: loss={ref_tloss} acc={ref_tacc} "
           f"({time.time() - t0:.0f}s)", flush=True)
+    expect_shape = ((len(splits["test"][0]),) if seq
+                    else splits["test"][1].shape)
+    assert tuple(all_output.shape) == tuple(expect_shape)
 
-    # ---- compare (reference rounds both numbers to 4 decimals) -----------
+    # ---- compare (reference rounds both numbers to 4 decimals) -------
     rows, ok = [], True
     for name, (oloss, oacc), rloss, racc in (
             ("valid", ours["valid"], ref_vloss, ref_vacc),
@@ -200,28 +278,55 @@ def main():
         acc_ok = abs(racc - oacc) < 5e-5 + 1e-12
         loss_ok = abs(rloss - oloss) < 2e-3
         ok = ok and acc_ok and loss_ok
-        rows.append(f"| {name} | {oloss:.4f} | {oacc:.4f} | {rloss:.4f} "
+        rows.append(f"| {task} {name} | {oloss:.4f} | {oacc:.4f} | {rloss:.4f} "
                     f"| {racc:.4f} | {'yes' if acc_ok and loss_ok else 'NO'} |")
-    assert tuple(all_output.shape) == (len(splits["test"][0]),)
+    desc = (f"composer: `SequenceClassification`, d_model {cfg.d_model}, "
+            f"{cfg.encoder_layers}+{cfg.decoder_layers} layers, S={S}, "
+            f"{n_cls} classes" if seq else
+            f"velocity: `TokenClassification` with the swapped decoder "
+            f"label embedding ({n_cls + 1}-token, d{cfg.decoder_label_dim}) "
+            f"and the reference's velocity label shift, S={S}")
+    return rows, ok, desc
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pbx_real_e2e"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    # parity with torch f32: CPU matmuls must not downcast
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    # PBX_INTEROP_CFG ('{"d_model": 64, ...}') shrinks the model for the
+    # script's own smoke test (tests/test_interop_script.py); production
+    # runs use the CLI finetune defaults = flagship dims.
+    overrides = json.loads(os.environ.get("PBX_INTEROP_CFG", "{}"))
+    ref_stack = load_reference_stack()
+
+    rows, descs, ok = [], [], True
+    for task in ("composer", "velocity"):
+        t_rows, t_ok, t_desc = check_task(work, ref_stack, task, overrides)
+        rows += t_rows
+        descs.append(t_desc)
+        ok = ok and t_ok
 
     report = [
         "## Reference behavioral interop at flagship scale",
         "",
-        "The trained composer checkpoint above, exported with",
+        "The trained composer and velocity checkpoints above, exported with",
         "`export-ckpt --strict_ref` and STRICT-`load_state_dict`ed into the",
-        "*unmodified* reference `SequenceClassification`",
-        "(`model.py:165-218`), evaluated by the reference's own",
+        "*unmodified* reference models (`model.py:165-218`, `236-272` —",
+        "velocity exercises the swapped decoder label embedding,",
+        "`PianoBart.py:88-91`), evaluated by the reference's own",
         "`FinetuneTrainer.valid()/test()` loops (`finetune.py:140-150`) on",
         "the same `.npy` splits (CPU, f32):",
         "",
-        "| split | our loss | our acc | reference loss | reference acc "
+        "| task/split | our loss | our acc | reference loss | reference acc "
         "| match |",
         "|---|---|---|---|---|---|",
         *rows,
         "",
-        f"(d_model {cfg.d_model}, {cfg.encoder_layers}+{cfg.decoder_layers} "
-        f"layers, S={S}, {n_cls} classes; reference rounds to 4 decimals; "
-        f"acc tolerance 5e-5, loss 2e-3.)",
+        *[f"({d})" for d in descs],
+        "(reference rounds to 4 decimals; acc tolerance 5e-5, loss 2e-3.)",
     ]
     out = write_report(work, report, ok)
     print("\n".join(report), flush=True)

@@ -36,7 +36,8 @@ def _octuple_batch(rng, n, S):
 
 
 def test_interop_script_tiny(tmp_path):
-    from pianobart_tpu.models import PianoBartConfig, SequenceClassification
+    from pianobart_tpu.models import (PianoBartConfig, SequenceClassification,
+                                      TokenClassification)
     from pianobart_tpu.train.state import CheckpointManager, create_train_state
 
     S, n_cls = 32, 4
@@ -61,16 +62,53 @@ def test_interop_script_tiny(tmp_path):
     mgr = CheckpointManager(str(work / "result/finetune/composer_realdata"))
     mgr.save(1, state, {"weighted_acc": 0.5}, is_best=True)
 
+    # velocity: token labels, swapped decoder label embedding (8 = 7+1)
+    vroot = work / "Data/output_velocity/corpus"
+    vroot.mkdir(parents=True)
+    for split, n in (("valid", 11), ("test", 13)):
+        np.save(vroot / f"corpus_{split}.npy", _octuple_batch(rng, n, S))
+        # (N, S, 1) exercises the script's trailing-dim squeeze
+        np.save(vroot / f"corpus_{split}_ans.npy",
+                rng.integers(0, 8, size=(n, S, 1)).astype(np.int64))
+    vcfg = cfg.replace(decoder_label_vocab=8)
+    vmodel = TokenClassification(vcfg, class_num=8)
+    vstate = create_train_state(
+        vmodel, vcfg, jax.random.PRNGKey(2),
+        (jnp.zeros((2, S, 8), jnp.int32), jnp.zeros((2, S), jnp.int32),
+         jnp.ones((2, S)), jnp.ones((2, S))))
+    vmgr = CheckpointManager(str(work / "result/finetune/velocity_realdata"))
+    vmgr.save(1, vstate, {"weighted_acc": 0.5}, is_best=True)
+
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["PBX_INTEROP_CFG"] = json.dumps(TINY)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/ref_interop_check.py"),
-         str(work)], env=env, capture_output=True, text=True, timeout=600)
+         str(work)], env=env, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     report = (work / "interop_report.md").read_text()
-    assert report.count("| yes |") == 2, report
+    assert report.count("| yes |") == 4, report
+    assert "velocity valid" in report and "velocity test" in report
+
+
+def test_reference_stack_does_not_shadow_sys_modules():
+    """round-4 advisor finding: load_reference_stack must not leave the
+    generic names 'model'/'finetune'/'PianoBart' in sys.modules."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_interop_check", os.path.join(REPO, "scripts",
+                                          "ref_interop_check.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    before = {n: sys.modules.get(n) for n in ("model", "finetune",
+                                              "PianoBart")}
+    ref_pb, ref_model, ref_finetune, e2w, w2e = mod.load_reference_stack()
+    for n, prev in before.items():
+        assert sys.modules.get(n) is prev, f"{n} shadowed in sys.modules"
+    # the cross-references the reference code needs stay alive
+    assert ref_finetune.TokenClassification is ref_model.TokenClassification
+    assert ref_model.PianoBart is ref_pb.PianoBart
 
 
 def test_interop_report_written_only_on_success(tmp_path):
