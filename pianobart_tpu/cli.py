@@ -693,6 +693,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["random", "magnitude"])
     sm.add_argument("--scaling_coefficient", type=float, default=1.0)
     sm.add_argument("--param_value_mask_rate", type=float, default=0.8)
+    sm.add_argument("--head_from", type=str, default=None,
+                    help="checkpoint whose non-trunk subtrees (task heads) "
+                         "ride along in the merged output; without it the "
+                         "msgpack is trunk-only and consumers re-init heads")
     sm.add_argument("--output", type=str, default="merged_params.msgpack")
     sm.set_defaults(fn=cmd_merge)
 

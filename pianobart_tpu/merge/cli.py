@@ -167,9 +167,23 @@ def run_merge(args) -> str:
     else:
         raise ValueError(args.method)
 
+    out_tree = {"pianobart": merged}
+    if getattr(args, "head_from", None):
+        # carry the task head(s) of one checkpoint alongside the merged
+        # trunk — the reference loads merged backbones INTO a finetuned
+        # model that keeps its own head (model_merge.py:60-78); without
+        # this, downstream consumers of the msgpack (demo/eval-gen) fall
+        # back to a RANDOM head for every non-trunk subtree
+        head_src = _load_params(args.head_from, cfg)
+        for k, v in head_src.items():
+            if k != "pianobart":
+                out_tree[k] = v
+
     from flax import serialization
-    blob = serialization.to_bytes({"pianobart": merged})
+    blob = serialization.to_bytes(out_tree)
     with open(args.output, "wb") as f:
         f.write(blob)
-    print(f"merged {len(models)} models with {args.method} -> {args.output}")
+    print(f"merged {len(models)} models with {args.method} -> {args.output}"
+          + (f" (heads from {args.head_from})"
+             if getattr(args, "head_from", None) else ""))
     return args.output

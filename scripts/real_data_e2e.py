@@ -75,15 +75,18 @@ def label_stats(work, outdir, dataset, token_level=False):
 
 
 def emotion_signal_stats(work, outdir, dataset):
-    """Measured signal ceiling for the 4-way emotion task.
+    """Trivial-rule baselines the 4-way emotion accuracy must be read against.
 
     The corpus labels are Russell quadrants = (initial tempo >= 90bpm) x
     (minor mode) (scripts/make_corpus.py:emotion_quadrant).  Arousal is
-    directly readable from the octuple tempo field; valence is near-ambiguous
-    from pitches alone (a natural-minor scale shares its pitch-class set with
-    its relative major), so the achievable 4-way ceiling on this corpus is
-    roughly the tempo-rule baseline below — context the model's accuracy
-    must be read against."""
+    directly readable from the octuple tempo field.  Since round 5 the
+    valence bit is LEARNABLE (round-4 verdict do-this #1): minor songs use
+    harmonic minor (a pitch-class set distinct from every major
+    transposition), phrase endings carry mode-keyed cadential figures, and
+    dynamics are valence-keyed (make_corpus.py).  Alongside the tempo-only
+    rules we therefore also report the strongest trivial two-feature rule —
+    first-tempo-token x mean-velocity threshold — so the model's accuracy is
+    compared against what the valence-keyed dynamics alone give away."""
     import numpy as np
     from pianobart_tpu import vocab as V
     root = os.path.join(work, outdir)
@@ -95,28 +98,42 @@ def emotion_signal_stats(work, outdir, dataset):
         y = np.asarray(np.load(
             os.path.join(root, f"{dataset}_{split}_ans.npy"),
             allow_pickle=True), np.int64)
-        data[split] = (X[:, 0, 7] >= thr, y)  # (high-arousal bit, label)
-    hi_tr, y_tr = data["train"]
+        real = X[..., 0] != V.PAD[0]
+        mv = np.array([X[j, real[j], 4].mean() if real[j].any() else 0.0
+                       for j in range(len(X))])
+        data[split] = (X[:, 0, 7] >= thr, mv, y)
+    hi_tr, mv_tr, y_tr = data["train"]
     # labels 0..3 = Q1..Q4: Q1/Q2 (0/1) are the high-arousal quadrants
     maj_hi = np.bincount(y_tr[hi_tr], minlength=4).argmax()
     maj_lo = np.bincount(y_tr[~hi_tr], minlength=4).argmax()
+    # tempo x velocity rule: split each arousal half at its best velocity
+    # threshold (train-fit), predicting the majority label of each cell
+    vthr = np.median(mv_tr)
+    cells = {}
+    for h in (False, True):
+        for b in (False, True):
+            sel = (hi_tr == h) & ((mv_tr >= vthr) == b)
+            cells[(h, b)] = (np.bincount(y_tr[sel], minlength=4).argmax()
+                             if sel.any() else maj_hi if h else maj_lo)
     lines = []
     for split in ("valid", "test"):
-        hi, y = data[split]
+        hi, mv, y = data[split]
         ar = float((hi == ((y == 0) | (y == 1))).mean())
         four = float((np.where(hi, maj_hi, maj_lo) == y).mean())
+        tv = float(np.mean([cells[(bool(h), bool(m >= vthr))] == t
+                            for h, m, t in zip(hi, mv, y)]))
         lines.append(f"{split} arousal-rule {ar:.3f} / 4-way tempo-rule "
-                     f"{four:.3f}")
+                     f"{four:.3f} / 4-way tempo+velocity rule {tv:.3f}")
     return [
-        "measured signal ceiling: the label is (initial tempo >= 90bpm) x "
-        "(minor mode); arousal is readable from the octuple tempo field, "
-        "but a natural-minor scale shares its pitch-class set with its "
-        "relative major, so valence carries almost no signal at this corpus "
-        "size.  First-tempo-token rule baselines: "
-        + "; ".join(lines) + ".  The model matching the 4-way tempo-rule "
-        "(and its valid acc peaking slightly above it) means it has "
-        "extracted the arousal signal fully — the gap to 1.0 is the "
-        "corpus's valence ambiguity, not a training defect.", ""]
+        "trivial-rule baselines (train-fit, applied to valid/test): the "
+        "label is (initial tempo >= 90bpm) x (minor mode).  Arousal is one "
+        "tempo token; since round 5 valence is learnable from harmonic-"
+        "minor pitch content, mode-keyed cadences and valence-keyed "
+        "dynamics (make_corpus.py), so accuracy must clear BOTH the tempo-"
+        "only rule and the tempo+mean-velocity rule to demonstrate the "
+        "model reads the musical (pitch/cadence) signal rather than the "
+        "dynamics shortcut alone.  "
+        + "; ".join(lines) + ".", ""]
 
 
 def _read_run(path):
@@ -273,7 +290,9 @@ def main():
         interop_lines = f.read().rstrip("\n").split("\n")
 
     # 3c2. emotion finetune (4-way, labels from the QX_ file-name prefixes)
-    epochs_emo = int(os.environ.get("PBX_E2E_EMO_EPOCHS", "3"))
+    # 8 epochs: the learnable-valence corpus (round-4 verdict #1) needs the
+    # model to pick up pitch/cadence signal beyond the 1-epoch tempo rule
+    epochs_emo = int(os.environ.get("PBX_E2E_EMO_EPOCHS", "8"))
     emo_jsonl = os.path.join(
         work, "result/finetune/emotion_realdata/metrics.jsonl")
     emo_s = 0.0
@@ -325,14 +344,56 @@ def main():
     import numpy as _np
     eg_shape = _np.load(os.path.join(work, "gen_eval.npy")).shape
 
-    # 3e. merge the pretrain + generation-finetuned trunks (L8 on real
-    # artifacts) and drive a demo from the merged weights
+    # 3e. merge MATRIX (round-4 verdict do-this #5): field-test the L8
+    # toolkit on the real flagship trunks, not just average.  Every merged
+    # msgpack carries the generation model's LM head (--head_from; without
+    # it consumers re-init a RANDOM head), is field-tested by decoding the
+    # full generation test split (eval-gen) and scored with the generation
+    # FAD metric against the ground-truth continuations, and drives a demo.
+    # Reference: clear code/model_merge.py:23-79 (its default is DARE
+    # rate-0.8 mask_merging wrapping average), merging_methods.py:529-602.
+    pre_best = "result/pretrain/realdata/best"
+    gen_best = "result/finetune/generation_realdata/best"
+    vel_best = "result/finetune/velocity_realdata/best"
+    merge_matrix = [
+        ("average", "average (pretrain+generation trunks)",
+         ["--models", pre_best, gen_best, "--method", "average_merging"]),
+        ("taskarith", "task-arithmetic (gen+vel deltas on pretrain, coeff 1.0)",
+         ["--models", gen_best, vel_best, "--pretrained", pre_best,
+          "--method", "task_arithmetic"]),
+        ("ties", "TIES (gen+vel, param mask 0.8, sign election)",
+         ["--models", gen_best, vel_best, "--pretrained", pre_best,
+          "--method", "ties_merging"]),
+        ("dare", "DARE mask 0.8 -> average (reference model_merge.py default)",
+         ["--models", gen_best, vel_best, "--pretrained", pre_best,
+          "--method", "mask_merging"]),
+        ("regmean", "RegMean (gen+vel, grams from 32 pretrain valid windows)",
+         ["--models", gen_best, vel_best, "--method", "regmean_merging",
+          "--data", "Data/output_pretrain/corpus/corpus_valid_split.npy",
+          "--num_examples", "32"]),
+    ]
     mg_s = 0.0
+    merge_rows = []
+    for slug, label, argv in merge_matrix:
+        pack = f"merged_{slug}.msgpack"
+        if not os.path.exists(os.path.join(work, pack)):
+            _, dt = sh(["merge", *argv, "--head_from", gen_best,
+                        "--output", pack], cwd=work)
+            mg_s += dt
+        ev = f"gen_eval_{slug}.npy"
+        if not os.path.exists(os.path.join(work, ev)):
+            _, dt = sh(["eval-gen", "--datasets", "corpus",
+                        "--dataroot", "Data/output_generate/corpus",
+                        "--output", ev, "--batch_size", "8",
+                        "--mesh", "1x1x1", "--ckpt", pack], cwd=work)
+            mg_s += dt
+        merge_rows.append((slug, label, pack, ev))
+    # keep the round-4 artifact name: the plain-average merge IS the file
+    # later demo stages and docs refer to
     if not os.path.exists(os.path.join(work, "merged_params.msgpack")):
-        _, mg_s = sh(["merge", "--models", "result/pretrain/realdata/best",
-                      "result/finetune/generation_realdata/best",
-                      "--method", "average_merging",
-                      "--output", "merged_params.msgpack"], cwd=work)
+        import shutil as _sh2
+        _sh2.copyfile(os.path.join(work, "merged_average.msgpack"),
+                      os.path.join(work, "merged_params.msgpack"))
 
     # 4. demo continuation from a real corpus file with the trained ckpt
     some_midi = None
@@ -358,17 +419,117 @@ def main():
                           demo_merged, "--ckpt", "merged_params.msgpack"],
                          cwd=work)
 
+    # 4b. demo + FAD score for every merge-matrix method (the average row
+    # reuses the demo above); FAD is computed exactly as the generation
+    # trainer scores teacher-forced eval, but on the DECODED continuations
+    # vs the ground-truth targets — same metric for every row, so relative
+    # degradation across methods is meaningful
+    def gen_fad_of(npy_name):
+        import numpy as np
+        from pianobart_tpu import vocab as V
+        from pianobart_tpu.utils.fad import generation_fad
+        root = os.path.join(work, "Data/output_generate/corpus")
+        y = np.asarray(np.load(os.path.join(root, "corpus_test_genans.npy"),
+                               allow_pickle=True), np.int64)
+        out = np.asarray(np.load(os.path.join(work, npy_name)), np.int64)
+        attn = (y[..., 0] != V.PAD[0]).astype(np.int64)
+        return generation_fad(y, out, attn)
+
+    merge_table = []
+    fad0, fad_bar0 = gen_fad_of("gen_eval.npy")
+    merge_table.append(("unmerged generation-finetuned (baseline)",
+                        fad0, fad_bar0, "yes"))
+    for slug, label, pack, ev in merge_rows:
+        out_mid = (demo_merged if slug == "average"
+                   else os.path.join(work, f"continuation_{slug}.mid"))
+        if not os.path.exists(out_mid):
+            try:
+                sh(["demo", "--input", some_midi, "--output", out_mid,
+                    "--ckpt", pack], cwd=work)
+            except SystemExit:
+                pass  # demo failure is a RESULT (recorded), not a crash
+        f, fb = gen_fad_of(ev)
+        merge_table.append(
+            (label, f, fb, "yes" if os.path.exists(out_mid) else "NO"))
+
+    # 5. serving benchmark on the chip (round-4 verdict do-this #2): the
+    # micro-batching WSGI backend under concurrent HTTP clients, at
+    # concurrency 8 and 16, plus the single-user latency — the number the
+    # reference's per-request-reload batch-1 Flask backend
+    # (gui/backend/app.py:71-93) cannot approach.  PBX_E2E_SERVE=0 skips.
+    serve_json = os.path.join(work, "serve_bench.json")
+    serve_s = 0.0
+    serve_stats = None
+    if os.environ.get("PBX_E2E_SERVE", "1") != "0":
+        if not os.path.exists(serve_json):
+            results = {}
+            for conc in (8, 16):
+                cmd = [sys.executable,
+                       os.path.join(REPO, "scripts", "serve_bench.py"),
+                       "--ckpt", os.path.join(work, pre_best),
+                       "--input", some_midi,
+                       "--concurrency", str(conc), "--volleys", "4",
+                       "--port", str(5060 + conc)]
+                print(f"+ serve_bench --concurrency {conc}", flush=True)
+                e = dict(os.environ)
+                e["PYTHONPATH"] = REPO + ":" + e.get("PYTHONPATH", "")
+                t0 = time.time()
+                r = subprocess.run(cmd, env=e, capture_output=True, text=True)
+                serve_s += time.time() - t0
+                if r.returncode != 0:
+                    print(r.stdout[-4000:])
+                    print(r.stderr[-4000:])
+                    raise SystemExit(f"serve_bench c={conc} failed")
+                line = [ln for ln in r.stdout.splitlines()
+                        if ln.startswith("{")][-1]
+                results[str(conc)] = json.loads(line)
+            with open(serve_json, "w") as f:
+                json.dump(results, f, indent=1)
+        serve_stats = json.load(open(serve_json))
+
+    # 6. long-context training on REAL data (round-4 verdict do-this #3):
+    # re-tokenize the corpus into 2048-token windows and pretrain at
+    # S=2048/B=16 dense on the single chip — the envelope
+    # scripts/longctx_tpu_check.py measured (592.7 ms/step, 55.3k tok/s)
+    # says it fits without remat.  The ring/sp path trains the same data
+    # shape in the CPU-mesh suite (test_cli.py sequence-parallel e2e).
+    # PBX_E2E_LONGCTX=0 skips.  Reference cap: pretrain.py:33 (hard 1024).
+    epochs_lc = int(os.environ.get("PBX_E2E_LC_EPOCHS", "4"))
+    lc, lc_windows = [], 0
+    lc_s = 0.0
+    if os.environ.get("PBX_E2E_LONGCTX", "1") != "0":
+        lc_train = os.path.join(
+            work, "Data/output_pretrain2048/corpus/corpus_train_split.npy")
+        if not os.path.exists(lc_train):
+            sh(["tokenize", "--dataset", corpus, "--task", "pretrain",
+                "--no_pad", "--max_seq_len", "2048",
+                "--out_root", "Data/output_pretrain2048"], cwd=work)
+        lc_windows = _np.load(lc_train, mmap_mode="r").shape[0]
+        lc_jsonl = os.path.join(
+            work, "result/pretrain/longctx2048/metrics.jsonl")
+        if not run_complete(lc_jsonl, epochs_lc):
+            _, lc_s = sh(["pretrain", "--dataroot", "Data/output_pretrain2048",
+                          "--datasets", "corpus", "--batch_size", "16",
+                          "--max_seq_len", "2048",
+                          "--epochs", str(epochs_lc),
+                          "--name", "longctx2048", "--mesh", "1x1x1"],
+                         cwd=work)
+        lc = read_epochs(lc_jsonl)
+
     # ---- RESULTS.md ----
     lines = [
-        "# Real-data end-to-end results (round 4, stratified splits)",
+        "# Real-data end-to-end results (round 5: learnable-valence corpus,"
+        " merge matrix, serving bench, long-context training)",
         "",
         "No network egress: POP909/Pianist8/EMOPIA are unreachable, so the",
         "corpus is `scripts/make_corpus.py` — programmatic public-domain",
         "repertoire (BWV 846, Canon in D, Ode to Joy, Fuer Elise) plus six",
         "styled procedural composers with real-world messiness (tempo/",
         "time-signature changes, >255-bar pieces, overlapping and",
-        "zero-length notes, duplicates, truncated files).  Every step below",
-        "ran through the public CLI on the attached TPU v5e.",
+        "zero-length notes, duplicates, truncated files).  Since round 5",
+        "the emotion label's valence bit is learnable (harmonic-minor pitch",
+        "content, mode-keyed cadences, valence-keyed dynamics).  Every step",
+        "below ran through the public CLI on the attached TPU v5e.",
         "",
         f"- corpus: {n_corpus_files} files -> tokenize "
         f"(pretrain+composer+emotion) "
@@ -388,8 +549,9 @@ def main():
         f"({dur(abl_s)})",
         f"- eval-gen: batched KV-cached decode of the full generation test "
         f"split -> {eg_shape} ({dur(eg_s)})",
-        f"- merge (average) pretrain+generation trunks ({dur(mg_s)}) -> "
-        f"demo from merged weights ({dur(demo_m_s)}): "
+        f"- merge matrix: {len(merge_rows)} methods on the flagship trunks, "
+        f"each field-tested by decoding the generation test split + a demo "
+        f"({dur(mg_s)}) -> "
         f"{'continuation_merged.mid written' if os.path.exists(demo_merged) else 'NO OUTPUT (all retry seeds truncated empty)'}",
         f"- demo continuation from `{os.path.relpath(some_midi, work)}` "
         f"({dur(demo_s, ' incl. compile')}): "
@@ -457,6 +619,85 @@ def main():
     for rec in abl:
         lines.append(f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
                      f"| {rec['valid']['loss']:.4f} |")
+
+    lines += [
+        "",
+        "## Merge matrix on the flagship trunks (L8 field test)",
+        "",
+        "Each merged model = merged trunk + the generation model's LM head",
+        "(`merge --head_from`), field-tested by AR-decoding the full",
+        "generation test split (`eval-gen`, KV-cached batch 8) and scoring",
+        "FAD/FAD-bar against the ground-truth continuations — the same",
+        "metric for every row, so relative degradation across methods is",
+        "meaningful (lower is better).  `demo` = a real continuation demo",
+        "succeeded from the merged weights.  Reference default is the DARE",
+        "row (`clear code/model_merge.py:23-79`: rate-0.8 mask_merging",
+        "wrapping average).",
+        "",
+        "| method | FAD | FAD-bar | demo |",
+        "|---|---|---|---|",
+    ]
+    for label, f, fb, demo_ok in merge_table:
+        lines.append(f"| {label} | {f:.4f} | {fb:.4f} | {demo_ok} |")
+
+    if serve_stats:
+        lines += [
+            "",
+            "## Serving benchmark (micro-batching WSGI backend, real TPU)",
+            "",
+            "`scripts/serve_bench.py`: concurrent HTTP clients POST real",
+            "MIDI uploads; the server coalesces a volley into ONE batched",
+            "KV-cached decode (serve/app.py).  The reference backend",
+            "(`gui/backend/app.py:71-93`) reloads the checkpoint and",
+            "decodes batch-1 per request, so its throughput ceiling is",
+            "1/solo-latency with zero coalescing.  First volley pays the",
+            "decode-bucket compile and is excluded from steady state.",
+            "",
+            "| concurrency | steady throughput (cont/s) | p50 latency (s) "
+            "| p95 latency (s) | solo request (s) | first volley incl. "
+            "compile (s) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for conc in sorted(serve_stats, key=int):
+            st = serve_stats[conc]
+            last_v = st["volleys"][-1]
+            lines.append(
+                f"| {conc} | {st['value']:.3f} | {last_v['p50_s']} "
+                f"| {last_v['p95_s']} | {st['solo_latency_s']} "
+                f"| {st['volleys'][0]['wall_s']} |")
+        solo = min(serve_stats[c]["solo_latency_s"] for c in serve_stats)
+        best = max(serve_stats[c]["value"] for c in serve_stats)
+        lines += [
+            "",
+            f"Sequential batch-1 serving (the reference's mode) tops out at "
+            f"{1.0 / solo:.3f} cont/s ({solo} s/request); micro-batching "
+            f"reaches {best:.3f} cont/s on the same chip — "
+            f"{best * solo:.1f}x.",
+        ]
+
+    if lc:
+        lines += [
+            "",
+            "## Long-context pretrain on real data (S=2048, dense, one v5e)",
+            "",
+            f"`tokenize --max_seq_len 2048 --no_pad` -> {lc_windows} "
+            f"2048-token train windows; `pretrain --max_seq_len 2048 "
+            f"--batch_size 16` ({dur(lc_s, ' wall incl. compile')}).  The "
+            "reference hard-caps sequences at 1024 (`pretrain.py:33`); the "
+            "measured single-chip envelope for this shape is 592.7 ms/step "
+            "= 55.3k tok/s, 45.8% model MFU (scripts/longctx_tpu_check.py, "
+            "same 32k tokens/step as the S=1024 headline).  Past S=2048 the "
+            "CLI shards sequence over the mesh (`--mesh DPx1xSP`, ring "
+            "attention; global S=4096 sp=4 proven in the dryrun).",
+            "",
+            "| epoch | train loss | valid loss | weighted acc |",
+            "|---|---|---|---|",
+        ]
+        for rec in lc:
+            lines.append(
+                f"| {rec['epoch']} | {rec['train']['loss']:.4f} "
+                f"| {rec['valid']['loss']:.4f} | {rec['weighted_acc']:.4f} |")
+
     first, last = pre[0], pre[-1]
     lines += [
         "",

@@ -201,3 +201,48 @@ def test_collect_dense_grams_interceptor():
     expect = (np.asarray(x).T @ np.asarray(x) / 16
               + np.asarray(x * 2).T @ np.asarray(x * 2) / 16) / 2
     np.testing.assert_allclose(grams["hid/kernel"], expect, rtol=1e-5)
+
+
+def test_run_merge_head_from_carries_non_trunk_subtrees(tmp_path, monkeypatch):
+    """--head_from bundles the donor checkpoint's task heads with the merged
+    trunk: without it, msgpack consumers (demo/eval-gen) re-initialize every
+    non-trunk subtree at RANDOM (decode.load_inference_params falls back to a
+    real init for leaves the checkpoint misses) — the reference instead loads
+    merged backbones into a finetuned model that keeps its own head
+    (model_merge.py:60-78)."""
+    import argparse
+
+    from flax import serialization
+
+    from pianobart_tpu.merge import cli as merge_cli
+
+    def fake_load(path, cfg):
+        seed = {"pre.ck": 0, "gen.ck": 1, "vel.ck": 2}[path]
+        full = {"pianobart": tree(seed=seed)}
+        if path != "pre.ck":
+            full["lm_head"] = {"proj": {"kernel": np.full((2, 2), seed * 1.0)}}
+        return full
+
+    monkeypatch.setattr(merge_cli, "_load_params", fake_load)
+    out = str(tmp_path / "merged.msgpack")
+    args = argparse.Namespace(
+        models=["gen.ck", "vel.ck"], pretrained="pre.ck",
+        method="task_arithmetic", scaling_coefficient=1.0,
+        head_from="gen.ck", output=out)
+    merge_cli.run_merge(args)
+    got = serialization.msgpack_restore(open(out, "rb").read())
+    assert set(got) == {"pianobart", "lm_head"}
+    np.testing.assert_allclose(got["lm_head"]["proj"]["kernel"],
+                               np.full((2, 2), 1.0))
+    # trunk is the merged tree, not the donor's
+    expect = (tree(seed=0)["a"]["kernel"]
+              + (tree(seed=1)["a"]["kernel"] - tree(seed=0)["a"]["kernel"])
+              + (tree(seed=2)["a"]["kernel"] - tree(seed=0)["a"]["kernel"]))
+    np.testing.assert_allclose(got["pianobart"]["a"]["kernel"], expect)
+
+    # default (no --head_from) stays trunk-only
+    args.head_from = None
+    args.output = str(tmp_path / "trunk_only.msgpack")
+    merge_cli.run_merge(args)
+    got2 = serialization.msgpack_restore(open(args.output, "rb").read())
+    assert set(got2) == {"pianobart"}
