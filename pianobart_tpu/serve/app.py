@@ -167,6 +167,11 @@ class GenerationService:
             "seed_semantics": ("per-request" if req.served_n == 1 else
                                f"batch-level stream over {req.served_n} "
                                f"coalesced requests"),
+            # attempts counts ALL decode attempts including the final one:
+            # a request failing every retry reports attempts == retries with
+            # ok=False, distinguishable from a last-attempt success (the
+            # zero-based 'retries' field conflated the two — round-4 advisor)
+            "attempts": attempt + 1,
             "retries": attempt,
         }
         return ok, info

@@ -324,3 +324,49 @@ def test_run_demo_retries_seeds_until_nonempty(tmp_path, monkeypatch, rng):
              hs=64, layers=1, ffn_dims=128, heads=2)
     assert len(calls) == 2
     assert not os.path.exists("out2.mid")
+
+
+def test_generate_reports_attempts_distinguishing_exhaustion(monkeypatch):
+    """info['attempts'] counts ALL decode attempts (1-based): exhausting
+    every retry reports attempts == PBX_DEMO_RETRIES with ok=False, while a
+    last-attempt success has the same zero-based 'retries' value — the
+    round-4 advisor flagged the two as indistinguishable."""
+    import numpy as np
+
+    from pianobart_tpu.serve import app as app_mod
+    from pianobart_tpu.serve.app import GenerationService
+
+    svc = GenerationService.__new__(GenerationService)
+    svc._generate_fn = None
+    svc._ready = True
+
+    class Cfg:
+        max_len = 4
+    svc.cfg = Cfg()
+    monkeypatch.setenv("PBX_DEMO_RETRIES", "3")
+    monkeypatch.setattr(app_mod.GenerationService, "_ensure",
+                        lambda self: None, raising=False)
+
+    class Req:
+        result = np.zeros((4, 8), np.int32)
+        served_n = 1
+
+    svc._submit_req = lambda intro, seed: Req()
+    import pianobart_tpu.serve.demo as demo_mod
+    monkeypatch.setattr(demo_mod, "midi_to_window",
+                        lambda p, s: np.zeros((1, 4, 8), np.int32))
+
+    # every attempt fails -> attempts == 3, ok False
+    monkeypatch.setattr(demo_mod, "window_to_midi", lambda w, p: False)
+    ok, info = svc.generate("in.mid", "out.mid", seed=0)
+    assert not ok and info["attempts"] == 3 and info["retries"] == 2
+
+    # success on the SECOND attempt -> attempts == 2, ok True
+    state = {"n": 0}
+
+    def second_try(w, p):
+        state["n"] += 1
+        return state["n"] >= 2
+    monkeypatch.setattr(demo_mod, "window_to_midi", second_try)
+    ok, info = svc.generate("in.mid", "out.mid", seed=0)
+    assert ok and info["attempts"] == 2 and info["retries"] == 1
