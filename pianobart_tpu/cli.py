@@ -576,6 +576,12 @@ def cmd_serve(args) -> int:
     app = create_app(ckpts=parse_ckpt_registry(args.ckpt),
                      max_batch=args.max_batch,
                      batch_window_s=args.batch_window)
+    if args.warm:
+        # pre-compile every decode bucket so no live request ever pays a
+        # compile (GenerationService.warmup docstring has the numbers)
+        for name, service in app.services.items():
+            timings = service.warmup()
+            print(f"warmed '{name}' decode buckets: {timings}")
     app.run(host=args.host, port=args.port)
     return 0
 
@@ -761,6 +767,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--batch_window", type=float, default=0.02,
                     help="seconds to gather concurrent requests before "
                          "dispatching a batch")
+    sv.add_argument("--warm", action="store_true",
+                    help="pre-compile every decode bucket at startup so no "
+                         "live request pays a compile")
     sv.set_defaults(fn=cmd_serve)
     return p
 

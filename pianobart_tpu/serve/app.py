@@ -138,6 +138,46 @@ class GenerationService:
     def ready(self) -> bool:
         return self._ready
 
+    def _bucket_of(self, n: int) -> int:
+        """Decode batch-shape bucket for a drain of n requests: the next
+        power of two, so at most log2(max_batch)+1 shapes ever compile."""
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        return bucket
+
+    def warmup(self, buckets=None) -> dict:
+        """Pre-compile the batched decode at every reachable bucket shape.
+
+        Without this, the FIRST live request that drains into a given
+        bucket pays that bucket's full decode compile at request time
+        (multi-minute through the remote compile helper — measured round
+        5: a [2,6] drain mid-benchmark stalled a volley 128 s on the cold
+        bucket-2 shape).  Production serving calls this once at startup
+        (``serve --warm`` / serve_bench default) so request latency is
+        deterministic; executables land in the persistent XLA cache, so
+        across restarts this is a cache read, not a compile.
+
+        Returns {bucket: seconds}.  No-op when a test ``generate_fn`` is
+        injected (nothing to compile)."""
+        if self._generate_fn is not None:
+            return {}
+        self._ensure()
+        import numpy as np
+        if buckets is None:
+            buckets, b = [], 1
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(b)  # next_pow2(max_batch) — the worker pads to it
+        timings = {}
+        for b in buckets:
+            intros = np.zeros((b, self.cfg.max_len, 8), dtype=np.int64)
+            t0 = time.time()
+            self._decode_batch(intros, list(range(b)))
+            timings[int(b)] = round(time.time() - t0, 3)
+        return timings
+
     def generate(self, midi_in: str, midi_out: str,
                  seed: int = 0) -> Tuple[bool, dict]:
         """Returns (ok, info): info carries the served batch size and the
@@ -231,9 +271,7 @@ class GenerationService:
                 continue
             try:
                 n = len(batch)
-                bucket = 1
-                while bucket < n:
-                    bucket *= 2  # {1,2,4,8}: bounded set of compiled shapes
+                bucket = self._bucket_of(n)  # bounded set of compiled shapes
                 intros = np.stack([r.intro for r in batch]
                                   + [batch[-1].intro] * (bucket - n))
                 seeds = [r.seed for r in batch]

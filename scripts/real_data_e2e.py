@@ -650,21 +650,26 @@ def main():
             "KV-cached decode (serve/app.py).  The reference backend",
             "(`gui/backend/app.py:71-93`) reloads the checkpoint and",
             "decodes batch-1 per request, so its throughput ceiling is",
-            "1/solo-latency with zero coalescing.  First volley pays the",
-            "decode-bucket compile and is excluded from steady state.",
+            "1/solo-latency with zero coalescing.  Every decode bucket is",
+            "pre-warmed before the first volley (one-time cost, persisted",
+            "in the XLA cache; without it a live request draining into a",
+            "cold bucket pays that compile — measured 128 s mid-volley in",
+            "the unwarmed round-5 run); the headline is the MEDIAN",
+            "per-volley rate over the post-first volleys.",
             "",
             "| concurrency | steady throughput (cont/s) | p50 latency (s) "
-            "| p95 latency (s) | solo request (s) | first volley incl. "
-            "compile (s) |",
+            "| p95 latency (s) | solo request (s) | bucket pre-warm (s) |",
             "|---|---|---|---|---|---|",
         ]
         for conc in sorted(serve_stats, key=int):
             st = serve_stats[conc]
             last_v = st["volleys"][-1]
+            warm = st.get("warmup_s",
+                          st["volleys"][0]["wall_s"])  # pre-warmup runs
             lines.append(
                 f"| {conc} | {st['value']:.3f} | {last_v['p50_s']} "
                 f"| {last_v['p95_s']} | {st['solo_latency_s']} "
-                f"| {st['volleys'][0]['wall_s']} |")
+                f"| {warm} |")
         solo = min(serve_stats[c]["solo_latency_s"] for c in serve_stats)
         best = max(serve_stats[c]["value"] for c in serve_stats)
         lines += [

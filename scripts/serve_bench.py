@@ -16,9 +16,13 @@ Usage:
       --input /tmp/pbx_real_e2e/corpus/Bach/Q4_bwv846_0.mid \
       --concurrency 8 --volleys 4
 
-The first volley pays the decode-bucket compile (cached in .jax_cache for
-later runs) and is reported separately; steady-state stats use the rest.
-Prints one JSON line.
+All decode buckets are PRE-WARMED before the first volley (the round-5
+c=8 run proved why: a [2,6] drain mid-benchmark stalled a volley 128 s on
+the cold bucket-2 shape, dragging 'steady state' to 0.185 cont/s when the
+clean volleys ran at ~15).  The warmup cost is reported separately
+(cached in the persistent XLA cache for later runs); steady-state
+throughput is the MEDIAN per-volley rate over the post-first volleys, so
+one polluted volley cannot swing the headline.  Prints one JSON line.
 """
 from __future__ import annotations
 
@@ -63,6 +67,9 @@ def main() -> None:
     ap.add_argument("--timeout_s", type=float, default=3600.0,
                     help="per-request timeout (volley 1 includes the "
                          "decode-bucket compile)")
+    ap.add_argument("--no_warm", action="store_true",
+                    help="skip the decode-bucket pre-warm (first volleys "
+                         "then pay compiles at request time)")
     ap.add_argument("--fake", action="store_true",
                     help="CPU smoke mode: a trivial generate_fn replaces "
                          "the model so the HTTP/micro-batch plumbing can "
@@ -100,6 +107,14 @@ def main() -> None:
             break
         except Exception:
             time.sleep(0.1)
+
+    warm_timings, warm_s = {}, 0.0
+    if not (args.no_warm or args.fake):
+        t0 = time.perf_counter()
+        warm_timings = app.services["pianobart"].warmup()
+        warm_s = time.perf_counter() - t0
+        print(f"[serve_bench] warmed decode buckets in {warm_s:.1f} s: "
+              f"{warm_timings}", file=sys.stderr, flush=True)
 
     midi_bytes = open(args.input, "rb").read()
     # one upload per client: concurrent generates on a SHARED upload would
@@ -148,22 +163,26 @@ def main() -> None:
               file=sys.stderr, flush=True)
 
     steady = volley_stats[1:] or volley_stats
-    n_ok = sum(s["ok"] for s in steady)
-    wall = sum(s["wall_s"] for s in steady)
-    # single-user latency reference: one request alone (bucket 1, cached)
+    # median per-volley rate: one compile-polluted volley (e.g. an unwarmed
+    # bucket shape) cannot swing the headline the way a sum-of-walls did
+    rates = sorted(s["ok"] / s["wall_s"] for s in steady if s["wall_s"])
+    value = rates[len(rates) // 2] if rates else 0.0
+    # single-user latency reference: one request alone (bucket 1, warm)
     solo = {}
     one(uploads[0], solo)
     print(json.dumps({
         "metric": "serve_continuations_per_sec",
-        "value": round(n_ok / wall, 3) if wall else 0.0,
-        "unit": (f"cont/s over {len(steady)} steady volleys of "
-                 f"{args.concurrency} concurrent HTTP requests "
+        "value": round(value, 3),
+        "unit": (f"cont/s (median volley rate) over {len(steady)} steady "
+                 f"volleys of {args.concurrency} concurrent HTTP requests "
                  f"(p50 {steady[-1]['p50_s']} s, p95 "
                  f"{steady[-1]['p95_s']} s per request; solo request "
-                 f"{round(solo['latency_s'], 3)} s; first-volley incl. "
-                 f"compile {volley_stats[0]['wall_s']} s)"),
+                 f"{round(solo['latency_s'], 3)} s; bucket pre-warm "
+                 f"{round(warm_s, 1)} s)"),
         "volleys": volley_stats,
         "solo_latency_s": round(solo["latency_s"], 3),
+        "warmup_s": round(warm_s, 3),
+        "warmup_buckets": warm_timings,
     }), flush=True)
 
 

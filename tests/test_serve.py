@@ -217,6 +217,35 @@ def test_generation_service_micro_batching():
     assert max(svc.batch_sizes_served) > 1
 
 
+def test_generation_service_warmup_buckets():
+    """warmup() compiles the decode at every reachable power-of-two bucket
+    (and only those), so no live request ever pays a bucket's first
+    compile (round-5 serve_bench: a cold bucket-2 drain stalled a
+    measured volley 128 s)."""
+    from types import SimpleNamespace
+
+    from pianobart_tpu.serve.app import GenerationService
+
+    for max_batch, expect in [(8, [1, 2, 4, 8]), (6, [1, 2, 4, 8]),
+                              (1, [1]), (16, [1, 2, 4, 8, 16])]:
+        svc = GenerationService(max_batch=max_batch)
+        svc._ready = True  # skip model load
+        svc.cfg = SimpleNamespace(max_len=16)
+        calls = []
+        svc._decode_batch = lambda intros, seeds: (
+            calls.append(intros.shape), intros)[1]
+        timings = svc.warmup()
+        assert [s[0] for s in calls] == expect, (max_batch, calls)
+        assert all(s[1:] == (16, 8) for s in calls)
+        assert sorted(timings) == expect
+        # warmup buckets == exactly what the worker's drain can produce
+        assert {svc._bucket_of(n) for n in range(1, max_batch + 1)} == set(expect)
+
+    # injectable-generate_fn services (tests/CPU smoke) have nothing to warm
+    svc = GenerationService(generate_fn=lambda a, b, c: True)
+    assert svc.warmup() == {}
+
+
 def test_generation_service_error_propagates():
     import numpy as np
     import pytest

@@ -43,3 +43,6 @@ def test_serve_bench_fake_mode(tmp_path):
     assert len(summary["volleys"]) == 2
     assert all(v["ok"] == 3 for v in summary["volleys"])
     assert summary["solo_latency_s"] > 0
+    # fake mode has no model: the bucket pre-warm must be skipped
+    assert summary["warmup_s"] == 0
+    assert summary["warmup_buckets"] == {}
