@@ -246,6 +246,34 @@ def test_generation_service_warmup_buckets():
     assert svc.warmup() == {}
 
 
+def test_generation_service_warmup_real_decode():
+    """warmup() through the REAL decode path (tiny config, CPU): compiles
+    each bucket once, and a post-warm submit is served from cache —
+    bounded well under one bucket's compile time."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pianobart_tpu.models import PianoBartConfig
+    from pianobart_tpu.serve.app import GenerationService
+
+    cfg = PianoBartConfig(d_model=32, encoder_layers=1, decoder_layers=1,
+                          ffn_dim=64, num_heads=2, max_len=16,
+                          dtype=jnp.float32)
+    svc = GenerationService(ckpt=None, max_batch=2, batch_window_s=0.01,
+                            cfg=cfg)
+    timings = svc.warmup()
+    assert sorted(timings) == [1, 2]
+    t0 = _time.time()
+    out = svc.submit(np.zeros((16, 8), np.int64), seed=7)
+    warm_submit_s = _time.time() - t0
+    assert out.shape == (16, 8)
+    # generous bound: a warm bucket-1 decode is a cache-hit dispatch, far
+    # below the slowest bucket's compile
+    assert warm_submit_s < max(timings.values()), (warm_submit_s, timings)
+
+
 def test_generation_service_error_propagates():
     import numpy as np
     import pytest
