@@ -14,19 +14,25 @@ from ..models import PianoBartConfig
 from . import methods
 
 
+def _lm_template(cfg: PianoBartConfig):
+    """Deterministic (PRNGKey 0) random-init PianoBartLM param tree — the
+    restore target for orbax checkpoints and the reference for detecting
+    subtrees a checkpoint did NOT supply (restore keeps template leaves)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from ..models import PianoBartLM
+    model = PianoBartLM(cfg)
+    ids = jnp.zeros((1, cfg.max_len, 8), jnp.int32)
+    m = jnp.ones((1, cfg.max_len))
+    return nn.meta.unbox(
+        model.init(jax.random.PRNGKey(0), ids, ids, m, m))["params"]
+
+
 def _load_params(path: str, cfg: PianoBartConfig):
     if os.path.isdir(path):
-        import jax
-        import jax.numpy as jnp
-        from flax import linen as nn
-        from ..models import PianoBartLM
         from ..train.state import CheckpointManager
-        model = PianoBartLM(cfg)
-        rng = jax.random.PRNGKey(0)
-        ids = jnp.zeros((1, cfg.max_len, 8), jnp.int32)
-        m = jnp.ones((1, cfg.max_len))
-        template = nn.meta.unbox(model.init(rng, ids, ids, m, m))["params"]
-        return CheckpointManager(path).restore_params(template)
+        return CheckpointManager(path).restore_params(_lm_template(cfg))
     from ..compat.torch_import import import_checkpoint
     return import_checkpoint(path, cfg)
 
@@ -174,10 +180,31 @@ def run_merge(args) -> str:
         # model that keeps its own head (model_merge.py:60-78); without
         # this, downstream consumers of the msgpack (demo/eval-gen) fall
         # back to a RANDOM head for every non-trunk subtree
-        head_src = _load_params(args.head_from, cfg)
+        import jax
+        if args.head_from in args.models:  # already restored above
+            head_src = models[args.models.index(args.head_from)]
+        else:
+            head_src = _load_params(args.head_from, cfg)
+        # restore-onto-template keeps RANDOM template leaves for subtrees
+        # the checkpoint doesn't carry (e.g. a classification checkpoint
+        # has no LM head) — bundling those would silently ship junk heads
+        # behind a success message (round-5 review)
+        template = _lm_template(cfg)
         for k, v in head_src.items():
-            if k != "pianobart":
-                out_tree[k] = v
+            if k == "pianobart":
+                continue
+            tl = jax.tree_util.tree_leaves(template.get(k, None))
+            vl = jax.tree_util.tree_leaves(v)
+            unchanged = (len(tl) == len(vl) and all(
+                np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(vl, tl)))
+            if unchanged:
+                raise SystemExit(
+                    f"--head_from {args.head_from}: subtree '{k}' is "
+                    f"identical to the random-init template — that "
+                    f"checkpoint does not carry this head; pass a "
+                    f"checkpoint that owns the head you want bundled")
+            out_tree[k] = v
 
     from flax import serialization
     blob = serialization.to_bytes(out_tree)

@@ -165,11 +165,10 @@ class GenerationService:
         self._ensure()
         import numpy as np
         if buckets is None:
-            buckets, b = [], 1
-            while b < self.max_batch:
-                buckets.append(b)
-                b *= 2
-            buckets.append(b)  # next_pow2(max_batch) — the worker pads to it
+            # exactly the shapes the worker's drain can produce — derived
+            # from _bucket_of so the two can never diverge
+            buckets = sorted({self._bucket_of(n)
+                              for n in range(1, self.max_batch + 1)})
         timings = {}
         for b in buckets:
             intros = np.zeros((b, self.cfg.max_len, 8), dtype=np.int64)

@@ -413,6 +413,14 @@ def emotion_quadrant(m: MidiFile, minor: bool) -> int:
 # ---------------------------------------------------------------------------
 
 
+# Bump whenever generated corpus SEMANTICS change (labels, signal content):
+# real_data_e2e.py stamps this into the corpus completion marker and refuses
+# to reuse a stale corpus under new claims (round-5 review: the round-5
+# learnable-valence changes would otherwise silently re-measure a
+# natural-minor round-4 corpus in an existing workdir).
+CORPUS_VERSION = 2  # 2 = learnable valence (harmonic minor, cadences, dynamics)
+
+
 def make_corpus(out_dir: str, n_files: int = 160, seed: int = 2024):
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)

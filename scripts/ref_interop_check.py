@@ -60,14 +60,19 @@ def load_reference_stack():
     if not hasattr(_t, "AdamW"):
         _t.AdamW = torch.optim.AdamW
     sys.path.insert(0, REF)
-    names = []
+    # snapshot any pre-existing module under these generic names so the
+    # cleanup RESTORES it instead of evicting it (round-5 review: popping
+    # unconditionally broke module identity for a host-process 'model'
+    # import — the exact shadowing hazard this cleanup exists to avoid)
+    prior = {}
     try:
         def load(name, fname):
+            if name not in prior:
+                prior[name] = sys.modules.get(name)
             spec = importlib.util.spec_from_file_location(
                 name, os.path.join(REF, fname))
             mod = importlib.util.module_from_spec(spec)
             sys.modules[name] = mod
-            names.append(name)
             spec.loader.exec_module(mod)
             return mod
 
@@ -80,8 +85,11 @@ def load_reference_stack():
         return ref_pb, ref_model, ref_finetune, e2w, w2e
     finally:
         sys.path.remove(REF)
-        for n in names:
-            sys.modules.pop(n, None)
+        for n, old in prior.items():
+            if old is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = old
 
 
 def our_eval(state, cfg, X, y, step_fn):

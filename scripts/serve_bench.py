@@ -166,7 +166,12 @@ def main() -> None:
     # median per-volley rate: one compile-polluted volley (e.g. an unwarmed
     # bucket shape) cannot swing the headline the way a sum-of-walls did
     rates = sorted(s["ok"] / s["wall_s"] for s in steady if s["wall_s"])
-    value = rates[len(rates) // 2] if rates else 0.0
+    if not rates:
+        value = 0.0
+    elif len(rates) % 2:
+        value = rates[len(rates) // 2]
+    else:  # true median: upper-middle alone biased even counts high
+        value = (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2
     # single-user latency reference: one request alone (bucket 1, warm)
     solo = {}
     one(uploads[0], solo)

@@ -224,6 +224,11 @@ def test_run_merge_head_from_carries_non_trunk_subtrees(tmp_path, monkeypatch):
         return full
 
     monkeypatch.setattr(merge_cli, "_load_params", fake_load)
+    # the random-init reference the donor's heads are checked against
+    # (run_merge refuses heads identical to it — see the guard test below)
+    monkeypatch.setattr(merge_cli, "_lm_template", lambda cfg: {
+        "pianobart": tree(seed=9),
+        "lm_head": {"proj": {"kernel": np.full((2, 2), -99.0)}}})
     out = str(tmp_path / "merged.msgpack")
     args = argparse.Namespace(
         models=["gen.ck", "vel.ck"], pretrained="pre.ck",
@@ -246,3 +251,67 @@ def test_run_merge_head_from_carries_non_trunk_subtrees(tmp_path, monkeypatch):
     merge_cli.run_merge(args)
     got2 = serialization.msgpack_restore(open(args.output, "rb").read())
     assert set(got2) == {"pianobart"}
+
+
+def test_run_merge_head_from_refuses_random_template_heads(tmp_path,
+                                                           monkeypatch):
+    """A donor whose non-trunk subtree came back IDENTICAL to the
+    random-init template never supplied that head (restore-onto-template
+    keeps template leaves for missing keys, e.g. a classification
+    checkpoint has no LM head): bundling it would silently ship a random
+    head behind a success message — run_merge must refuse (round-5
+    review)."""
+    import argparse
+
+    import pytest
+
+    from pianobart_tpu.merge import cli as merge_cli
+
+    template_head = {"proj": {"kernel": np.full((2, 2), -99.0)}}
+
+    def fake_load(path, cfg):
+        seed = {"pre.ck": 0, "cls.ck": 1, "vel.ck": 2}[path]
+        # cls.ck is a classification checkpoint: its restore keeps the
+        # template's random lm_head untouched
+        return {"pianobart": tree(seed=seed),
+                "lm_head": {"proj": {"kernel": template_head["proj"]
+                                     ["kernel"].copy()}}}
+
+    monkeypatch.setattr(merge_cli, "_load_params", fake_load)
+    monkeypatch.setattr(merge_cli, "_lm_template", lambda cfg: {
+        "pianobart": tree(seed=9), "lm_head": template_head})
+    args = argparse.Namespace(
+        models=["cls.ck", "vel.ck"], pretrained="pre.ck",
+        method="task_arithmetic", scaling_coefficient=1.0,
+        head_from="cls.ck", output=str(tmp_path / "out.msgpack"))
+    with pytest.raises(SystemExit, match="identical to the random-init"):
+        merge_cli.run_merge(args)
+    assert not (tmp_path / "out.msgpack").exists()
+
+
+def test_run_merge_head_from_reuses_loaded_model(tmp_path, monkeypatch):
+    """head_from pointing at one of --models must not reload the
+    checkpoint (a flagship restore costs a full model.init + ~550 MB
+    orbax read)."""
+    import argparse
+
+    from pianobart_tpu.merge import cli as merge_cli
+
+    loads = []
+
+    def fake_load(path, cfg):
+        loads.append(path)
+        seed = {"pre.ck": 0, "gen.ck": 1, "vel.ck": 2}[path]
+        return {"pianobart": tree(seed=seed),
+                "lm_head": {"proj": {"kernel": np.full((2, 2), seed * 1.0)}}}
+
+    monkeypatch.setattr(merge_cli, "_load_params", fake_load)
+    monkeypatch.setattr(merge_cli, "_lm_template", lambda cfg: {
+        "pianobart": tree(seed=9),
+        "lm_head": {"proj": {"kernel": np.full((2, 2), -99.0)}}})
+    args = argparse.Namespace(
+        models=["gen.ck", "vel.ck"], pretrained="pre.ck",
+        method="task_arithmetic", scaling_coefficient=1.0,
+        head_from="gen.ck", output=str(tmp_path / "out.msgpack"))
+    merge_cli.run_merge(args)
+    assert loads.count("gen.ck") == 1, loads
