@@ -25,15 +25,25 @@ def dur(sec, suffix=""):
             else f"{sec:.0f}s{suffix}")
 
 
-def sh(args, cwd, env=None):
+def sh(args, cwd, env=None, timeout=None):
+    """Run a CLI subcommand.  ``timeout`` (seconds) turns a HANG into a
+    recorded failure: a TPU-tunnel outage mid-round left a warm-cache
+    demo blocked forever on a dead RPC (round 5), stalling every later
+    stage — bounded stages fail loudly instead."""
     print(f"+ {' '.join(args)}", flush=True)
     e = dict(os.environ)
     e["PYTHONPATH"] = REPO + ":" + e.get("PYTHONPATH", "")
     if env:
         e.update(env)
     t0 = time.time()
-    r = subprocess.run([sys.executable, "-m", "pianobart_tpu.cli"] + args,
-                       cwd=cwd, env=e, capture_output=True, text=True)
+    try:
+        r = subprocess.run([sys.executable, "-m", "pianobart_tpu.cli"]
+                           + args, cwd=cwd, env=e, capture_output=True,
+                           text=True, timeout=timeout)
+    except subprocess.TimeoutExpired as exc:
+        print((exc.stdout or b"")[-4000:] if isinstance(exc.stdout, bytes)
+              else (exc.stdout or "")[-4000:])
+        raise SystemExit(f"command timed out after {timeout}s: {args}")
     dt = time.time() - t0
     if r.returncode != 0:
         print(r.stdout[-4000:])
@@ -430,13 +440,14 @@ def main():
     demo_s = 0.0
     if not os.path.exists(demo_out):
         _, demo_s = sh(["demo", "--input", some_midi, "--output", demo_out,
-                        "--ckpt", "result/pretrain/realdata/best"], cwd=work)
+                        "--ckpt", "result/pretrain/realdata/best"],
+                       cwd=work, timeout=1800)
     demo_merged = os.path.join(work, "continuation_merged.mid")
     demo_m_s = 0.0
     if not os.path.exists(demo_merged):
         _, demo_m_s = sh(["demo", "--input", some_midi, "--output",
                           demo_merged, "--ckpt", "merged_params.msgpack"],
-                         cwd=work)
+                         cwd=work, timeout=1800)
 
     # 4b. demo + FAD score for every merge-matrix method (the average row
     # reuses the demo above); FAD is computed exactly as the generation
@@ -464,7 +475,7 @@ def main():
     if not os.path.exists(demo_genft):
         try:
             sh(["demo", "--input", some_midi, "--output", demo_genft,
-                "--ckpt", gen_best], cwd=work)
+                "--ckpt", gen_best], cwd=work, timeout=1800)
         except SystemExit:
             pass  # demo failure is a RESULT (recorded), not a crash
     merge_table = []
@@ -478,7 +489,7 @@ def main():
         if not os.path.exists(out_mid):
             try:
                 sh(["demo", "--input", some_midi, "--output", out_mid,
-                    "--ckpt", pack], cwd=work)
+                    "--ckpt", pack], cwd=work, timeout=1800)
             except SystemExit:
                 pass  # demo failure is a RESULT (recorded), not a crash
         f, fb = gen_fad_of(ev)
