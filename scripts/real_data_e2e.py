@@ -469,32 +469,35 @@ def main():
                            _np2.int64)
         return _gen_fad(_gt, out, _gt_attn)
 
+    # demo failure is a RESULT (recorded), not a crash — but an
+    # infrastructure timeout (hung TPU tunnel) is NOT a model failure:
+    # report it as such instead of a misleading "NO"
+    def try_demo(out_mid, ckpt):
+        if os.path.exists(out_mid):
+            return "yes"
+        try:
+            sh(["demo", "--input", some_midi, "--output", out_mid,
+                "--ckpt", ckpt], cwd=work, timeout=1800)
+        except SystemExit as exc:
+            if not os.path.exists(out_mid):
+                return ("n/a (timed out)" if "timed out" in str(exc)
+                        else "NO")
+        return "yes" if os.path.exists(out_mid) else "NO"
+
     # the baseline row's demo runs from the UNMERGED generation checkpoint
     # (round-5 review: its 'yes' was hardcoded without a demo ever running)
     demo_genft = os.path.join(work, "continuation_genft.mid")
-    if not os.path.exists(demo_genft):
-        try:
-            sh(["demo", "--input", some_midi, "--output", demo_genft,
-                "--ckpt", gen_best], cwd=work, timeout=1800)
-        except SystemExit:
-            pass  # demo failure is a RESULT (recorded), not a crash
+    genft_cell = try_demo(demo_genft, gen_best)
     merge_table = []
     fad0, fad_bar0 = gen_fad_of("gen_eval.npy")
     merge_table.append(("unmerged generation-finetuned (baseline)",
-                        fad0, fad_bar0,
-                        "yes" if os.path.exists(demo_genft) else "NO"))
+                        fad0, fad_bar0, genft_cell))
     for slug, label, pack, ev in merge_rows:
         out_mid = (demo_merged if slug == "average"
                    else os.path.join(work, f"continuation_{slug}.mid"))
-        if not os.path.exists(out_mid):
-            try:
-                sh(["demo", "--input", some_midi, "--output", out_mid,
-                    "--ckpt", pack], cwd=work, timeout=1800)
-            except SystemExit:
-                pass  # demo failure is a RESULT (recorded), not a crash
+        cell = try_demo(out_mid, pack)
         f, fb = gen_fad_of(ev)
-        merge_table.append(
-            (label, f, fb, "yes" if os.path.exists(out_mid) else "NO"))
+        merge_table.append((label, f, fb, cell))
 
     # 5. serving benchmark on the chip (round-4 verdict do-this #2): the
     # micro-batching WSGI backend under concurrent HTTP clients, at
