@@ -334,3 +334,34 @@ def test_early_stop_writes_structured_event_and_counts_complete(
     epochs2, early2 = _read_run(jsonl)
     assert len(epochs2) == 1 and not early2
     assert not run_complete(jsonl, 6)
+
+
+def test_e2e_sh_timeout_is_a_loud_failure(tmp_path, monkeypatch):
+    """real_data_e2e.sh(timeout=...) must turn a HUNG subcommand into a
+    SystemExit naming the timeout (round 5: a dead TPU RPC left a demo
+    blocked forever, stalling every later stage) — and the message is the
+    contract try_demo uses to report 'n/a (timed out)' instead of a
+    misleading model-failure 'NO'."""
+    import subprocess
+    import sys as _sys
+    import pytest
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts import real_data_e2e as e2e
+
+    def fake_run(cmd, **kw):
+        assert kw["timeout"] == 7
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"],
+                                        output="partial stage output")
+    monkeypatch.setattr(e2e.subprocess, "run", fake_run)
+    with pytest.raises(SystemExit) as exc:
+        e2e.sh(["demo", "--input", "x.mid"], cwd=str(tmp_path), timeout=7)
+    assert "timed out" in str(exc.value)
+
+    # a plain failure (nonzero exit) raises WITHOUT the timeout marker
+    def fake_run_fail(cmd, **kw):
+        return subprocess.CompletedProcess(cmd, 1, stdout="out", stderr="err")
+    monkeypatch.setattr(e2e.subprocess, "run", fake_run_fail)
+    with pytest.raises(SystemExit) as exc2:
+        e2e.sh(["demo"], cwd=str(tmp_path))
+    assert "timed out" not in str(exc2.value)
