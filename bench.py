@@ -103,7 +103,7 @@ def main() -> None:
     _ = float(losses[-1])
     t_warm = time.perf_counter() - t_warm
     _note(f"warmup done in {t_warm:.1f} s "
-          f"({'cached executable' if t_warm < 60 else 'fresh compile'})")
+          f"({'cached executable' if t_warm < 120 else 'fresh compile'})")
 
     # Analytic-FLOP MFU (model + hardware conventions): see
     # pianobart_tpu/utils/flops.py — shared with scripts/longctx_tpu_check.py.

@@ -30,7 +30,7 @@ if ! grep -q '"metric"' "$LOG"; then
     exit 1
 fi
 if grep -q "fresh compile" "$LOG"; then
-    echo "round_close: FAIL — warmup was a FRESH COMPILE (>60 s)." >&2
+    echo "round_close: FAIL — warmup was a FRESH COMPILE (>120 s)." >&2
     echo "  The cache is warm NOW (this run compiled it); if no traced-path" >&2
     echo "  file changes again, re-run: sh scripts/round_close.sh" >&2
     exit 2
