@@ -167,3 +167,49 @@ def test_cli_msgpack_ckpt_mismatch_fails_fast(tmp_path, monkeypatch):
               "--layers", "1", "--ffn_dims", "64", "--heads", "4",
               "--dtype", "f32", "--max_seq_len", "32", "--name", "x",
               "--mesh", "2x1x1", "--ckpt", "bogus.msgpack"])
+
+
+def test_cli_serve_warm_flag_prewarms_every_service(monkeypatch, capsys):
+    """`serve --warm` must call GenerationService.warmup() once per
+    registered model BEFORE entering the request loop (the pre-warm is the
+    serving bench's enabling fix: a cold decode bucket costs a multi-minute
+    compile mid-request), and plain `serve` must not."""
+    import pianobart_tpu.cli as cli
+
+    class FakeService:
+        def __init__(self):
+            self.warm_calls = 0
+
+        def warmup(self):
+            self.warm_calls += 1
+            return {1: 0.01}
+
+    class FakeApp:
+        def __init__(self):
+            self.services = {"a": FakeService(), "b": FakeService()}
+            self.ran = False
+
+        def run(self, host, port):
+            self.ran = True
+
+    made = []
+
+    def fake_create_app(**kw):
+        app = FakeApp()
+        made.append(app)
+        return app
+
+    import pianobart_tpu.serve.app as serve_app
+    monkeypatch.setattr(serve_app, "create_app", fake_create_app)
+
+    assert cli.main(["serve", "--warm"]) == 0
+    app = made[-1]
+    assert app.ran
+    assert all(s.warm_calls == 1 for s in app.services.values())
+    out = capsys.readouterr().out
+    assert "warmed 'a' decode buckets" in out
+
+    assert cli.main(["serve"]) == 0
+    app2 = made[-1]
+    assert app2.ran
+    assert all(s.warm_calls == 0 for s in app2.services.values())
