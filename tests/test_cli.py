@@ -17,7 +17,7 @@ def test_all_subcommands_parse():
     p.parse_args(["tokenize", "--dataset", "x"])
     p.parse_args(["demo", "--input", "x.mid"])
     p.parse_args(["eval-gen", "--dataroot", "d"])
-    p.parse_args(["merge", "--models", "a", "b"])
+    p.parse_args(["merge", "--models", "a", "b", "--head_from", "a"])
     p.parse_args(["concat", "--dataroot", "d", "--datasets", "a",
                   "--output", "o.npy"])
     p.parse_args(["convert-ckpt", "--ckpt", "a", "--output", "b"])
